@@ -1,0 +1,162 @@
+"""Selective SSM (Mamba-v1) recurrence for TPU — pure JAX implementations.
+
+Replaces the reference's external CUDA kernels (mamba-ssm 1.1.1
+``selective_scan_cuda`` + causal-conv1d; reference models/point_mamba.py:25,
+models/block.py:72). Math follows the published Mamba S6 recipe:
+
+    delta = softplus(dt + dt_bias)
+    hbar_t = exp(delta_t * A) * h_{t-1} + (delta_t * B_t) * u_t      (ZOH A, Euler B)
+    y_t    = C_t . h_t + D * u_t
+    out    = y * silu(z)                                              (gate)
+
+with the state carried in float32 regardless of activation dtype.
+
+Three interchangeable implementations:
+- ``selective_scan_seq``   — lax.scan over time; the correctness oracle.
+- ``selective_scan_assoc`` — jax.lax.associative_scan over the affine maps
+  (a, b) with (a1,b1)∘(a2,b2) = (a1*a2, a2*b1 + b2); O(log L) depth, the
+  default compiled path until the Pallas kernel takes over.
+- the fused Pallas kernel lives in ``si_mamba_tpu.ops.pallas`` and is
+  selected via ``selective_scan(..., impl='pallas')``.
+
+Layout is batch-major time-second: u (B, L, D) — TPU-friendly (feature dim
+last, maps to lanes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def causal_conv1d(x: jax.Array, weight: jax.Array, bias: jax.Array | None = None,
+                  activation: str | None = "silu") -> jax.Array:
+    """Causal depthwise conv along time. x: (B, L, D), weight: (D, W), bias: (D,).
+
+    Equivalent to torch ``F.conv1d(x, w, groups=D, padding=W-1)[..., :L]``
+    (the causal-conv1d package semantics). Implemented as W shifted
+    multiply-adds — XLA fuses these into a handful of VPU ops, no conv needed.
+    """
+    B, L, D = x.shape
+    Dw, W = weight.shape
+    assert Dw == D, (Dw, D)
+    xpad = jnp.pad(x, ((0, 0), (W - 1, 0), (0, 0)))
+    y = jnp.zeros_like(x)
+    for i in range(W):
+        y = y + xpad[:, i : i + L, :] * weight[:, i][None, None, :]
+    if bias is not None:
+        y = y + bias[None, None, :]
+    if activation == "silu":
+        y = jax.nn.silu(y)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return y
+
+
+def _prep(u, delta, A, B, C, delta_bias, delta_softplus):
+    """Common precomputation: discretized (dA, dBu) in float32.
+
+    u, delta: (b, l, d); A: (d, n); B, C: (b, l, n).
+    Returns dA, dBu: (b, l, d, n) float32.
+    """
+    delta = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta = delta + delta_bias.astype(jnp.float32)[None, None, :]
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    u32 = u.astype(jnp.float32)
+    A32 = A.astype(jnp.float32)
+    B32 = B.astype(jnp.float32)
+    dA = jnp.exp(delta[..., None] * A32[None, None, :, :])  # (b,l,d,n)
+    dBu = (delta * u32)[..., None] * B32[:, :, None, :]  # (b,l,d,n)
+    return dA, dBu
+
+
+def _finalize(hs, C, u, D, z, out_dtype):
+    """y_t = C_t . h_t (+ D*u) (* silu(z)). hs: (b,l,d,n) fp32."""
+    y = jnp.einsum("bldn,bln->bld", hs, C.astype(jnp.float32))
+    if D is not None:
+        y = y + u.astype(jnp.float32) * D.astype(jnp.float32)[None, None, :]
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(out_dtype)
+
+
+def selective_scan_seq(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                       delta_softplus: bool = True) -> jax.Array:
+    """Sequential-time oracle via lax.scan. Shapes as in ``_prep``."""
+    dA, dBu = _prep(u, delta, A, B, C, delta_bias, delta_softplus)
+    b, l, d, n = dA.shape
+
+    def step(h, inp):
+        a_t, b_t = inp
+        h = a_t * h + b_t
+        return h, h
+
+    # scan over time: move l to leading axis
+    dA_t = jnp.moveaxis(dA, 1, 0)
+    dBu_t = jnp.moveaxis(dBu, 1, 0)
+    h0 = jnp.zeros((b, d, n), jnp.float32)
+    _, hs = lax.scan(step, h0, (dA_t, dBu_t))
+    hs = jnp.moveaxis(hs, 0, 1)  # (b,l,d,n)
+    return _finalize(hs, C, u, D, z, u.dtype)
+
+
+def selective_scan_assoc(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                         delta_softplus: bool = True) -> jax.Array:
+    """O(log L)-depth scan via ``lax.associative_scan`` on affine maps."""
+    dA, dBu = _prep(u, delta, A, B, C, delta_bias, delta_softplus)
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    _, hs = lax.associative_scan(combine, (dA, dBu), axis=1)
+    return _finalize(hs, C, u, D, z, u.dtype)
+
+
+def selective_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                   delta_softplus: bool = True, impl: str = "assoc") -> jax.Array:
+    """Dispatch between implementations ('seq' | 'assoc' | 'pallas')."""
+    if impl == "seq":
+        return selective_scan_seq(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    if impl == "assoc":
+        return selective_scan_assoc(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    if impl == "pallas":
+        from si_mamba_tpu.ops.pallas.selective_scan_kernel import selective_scan_pallas
+
+        return selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
+                      impl: str = "assoc") -> jax.Array:
+    """Functional Mamba-v1 mixer forward (mamba-ssm 1.1.1 semantics).
+
+    params (all arrays, torch-importable layout noted):
+      in_proj_w   (d_model, 2*d_inner)   [torch in_proj.weight^T]
+      conv_w      (d_inner, d_conv)      [torch conv1d.weight squeezed]
+      conv_b      (d_inner,)
+      x_proj_w    (d_inner, dt_rank+2*d_state)
+      dt_proj_w   (dt_rank, d_inner)
+      dt_proj_b   (d_inner,)
+      A_log       (d_inner, d_state)
+      D           (d_inner,)
+      out_proj_w  (d_inner, d_model)
+
+    x: (B, L, d_model) -> (B, L, d_model).
+    """
+    xz = x @ params["in_proj_w"]  # (B, L, 2*d_inner)
+    d_inner = xz.shape[-1] // 2
+    xi, z = xz[..., :d_inner], xz[..., d_inner:]
+    xi = causal_conv1d(xi, params["conv_w"], params["conv_b"], activation="silu")
+    x_dbl = xi @ params["x_proj_w"]  # (B, L, dt_rank + 2n)
+    dt = x_dbl[..., :dt_rank] @ params["dt_proj_w"]  # (B, L, d_inner)
+    Bc = x_dbl[..., dt_rank : dt_rank + d_state]
+    Cc = x_dbl[..., dt_rank + d_state :]
+    A = -jnp.exp(params["A_log"].astype(jnp.float32))
+    y = selective_scan(xi, dt, A, Bc, Cc, D=params["D"], z=z,
+                       delta_bias=params["dt_proj_b"], delta_softplus=True, impl=impl)
+    return y @ params["out_proj_w"]

@@ -1,0 +1,85 @@
+"""Batched spectral ops: torch-compatible eigh, top-k eigenpairs, traversal
+orders (SAST Fiedler sorts, HLT multilevel codes).
+
+The reference feeds the *non-symmetric* random-walk Laplacian to
+``torch.linalg.eigh`` (models/point_mamba.py:742,3035), which silently reads
+only the LOWER triangle. ``jnp.linalg.eigh`` by default symmetrizes with
+``(A + A^T)/2`` — a *different* matrix. ``eigh_tril`` reproduces the torch
+semantics by explicitly reflecting the lower triangle first. All eigh calls
+are batched (one fused XLA eigh over (B, N, N)) — replacing the reference's
+per-sample Python loop over cuSOLVER calls (:725).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def tril_symmetrize(M: jax.Array) -> jax.Array:
+    """Build the symmetric matrix torch.linalg.eigh(UPLO='L') actually sees."""
+    lower = jnp.tril(M)
+    strict = jnp.tril(M, -1)
+    return lower + jnp.swapaxes(strict, -1, -2)
+
+
+def eigh_tril(M: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Eigendecomposition using only the lower triangle (torch semantics).
+
+    Returns (eigenvalues ascending (..., N), eigenvectors (..., N, N) with
+    eigenvectors in columns).
+    """
+    return jnp.linalg.eigh(tril_symmetrize(M), symmetrize_input=False)
+
+
+def topk_eigh(
+    L: jax.Array, k: int, smallest: bool = True
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Top/bottom-k eigenpairs of (B, N, N) ``L`` (lower-triangle semantics).
+
+    Returns (vals (B, k), vecs (B, N, k), all_vals (B, N), all_vecs (B, N, N)).
+    Matches reference ``calc_top_k_eigenvalues_eigenvectors``
+    (models/point_mamba.py:717-761 / batched :3001-3050): smallest=True gives
+    the k smallest sorted ascending; otherwise k largest sorted descending.
+    """
+    vals, vecs = eigh_tril(L)
+    if smallest:
+        top_vals = vals[..., :k]
+        top_vecs = vecs[..., :, :k]
+    else:
+        top_vals = vals[..., ::-1][..., :k]
+        top_vecs = vecs[..., :, ::-1][..., :, :k]
+    return top_vals, top_vecs, vals, vecs
+
+
+def canonicalize_eigenvector_signs(vecs: jax.Array) -> jax.Array:
+    """Fix the per-eigenvector sign ambiguity: make the entry of largest
+    magnitude positive. (..., N, k) -> same shape. Optional — useful for
+    deterministic traversal orders across backends (eigenvector sign is
+    solver-dependent; see SURVEY.md §7.3)."""
+    n = vecs.shape[-2]
+    amax = jnp.argmax(jnp.abs(vecs), axis=-2)  # (..., k)
+    picked = jnp.take_along_axis(vecs, amax[..., None, :], axis=-2)  # (..., 1, k)
+    sign = jnp.where(picked >= 0, 1.0, -1.0).astype(vecs.dtype)
+    return vecs * sign
+
+
+def sort_orders_by_eigenvectors(eigvecs: jax.Array) -> jax.Array:
+    """Ascending argsort of each eigenvector: (B, N, k) -> int32 (B, k, N).
+
+    Row i of the result is the token traversal order induced by eigenvector i
+    (reference ``sort_points_by_fiedler``, models/point_mamba.py:817-826).
+    """
+    return jnp.argsort(jnp.swapaxes(eigvecs, -1, -2), axis=-1).astype(jnp.int32)
+
+
+def multilevel_codes(eigvecs: jax.Array, level: int) -> jax.Array:
+    """HLT bucket codes: sign-vs-mean bits of the first ``level`` eigenvectors
+    packed into integers. (B, N, k) -> (B, N) float codes.
+
+    Reference ``multilevel_travers`` (models/point_mamba.py:829-841).
+    """
+    means = jnp.mean(eigvecs, axis=1, keepdims=True)
+    bits = (eigvecs >= means).astype(eigvecs.dtype)[..., :level]
+    powers = 2.0 ** jnp.arange(level - 1, -1, -1, dtype=eigvecs.dtype)
+    return jnp.sum(bits * powers[None, None, :], axis=-1)

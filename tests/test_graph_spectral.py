@@ -1,0 +1,127 @@
+"""Graph adjacency + Laplacian + eigh tests, cross-checked against a torch
+oracle that replicates the reference's scatter-based construction and
+torch.linalg.eigh lower-triangle semantics (reference models/point_mamba.py:
+620-761)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from si_mamba_tpu.ops import (
+    eigh_tril,
+    knn_adjacency,
+    multilevel_codes,
+    rw_laplacian,
+    sort_orders_by_eigenvectors,
+    sym_laplacian,
+    topk_eigh,
+    tril_symmetrize,
+)
+
+
+def torch_reference_adjacency(points, k, alpha, symmetric, self_loop, binary):
+    """Independent torch oracle of the reference's graph builder semantics."""
+    pts = torch.from_numpy(points)
+    B, N, _ = pts.shape
+    d = torch.sqrt(((pts.unsqueeze(2) - pts.unsqueeze(1)) ** 2).sum(-1))
+    _, idx = torch.topk(-d, k=k + 1, largest=True, dim=-1)
+    if not self_loop:
+        idx = idx[:, :, 1:]
+    A = torch.zeros(B, N, N)
+    w = torch.exp(-alpha * torch.gather(d, -1, idx) ** 2)
+    b_i = torch.arange(B)[:, None, None]
+    n_i = torch.arange(N)[:, None]
+    if binary:
+        A[b_i, n_i, idx] = 1.0
+        if symmetric:
+            A[b_i, idx, n_i] = 1.0
+    else:
+        A[b_i, n_i, idx] = w
+        if symmetric:
+            A[b_i, idx, n_i] = w
+    return A.numpy()
+
+
+@pytest.fixture
+def centers():
+    rng = np.random.default_rng(3)
+    return rng.standard_normal((2, 32, 3)).astype(np.float32)
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+@pytest.mark.parametrize("self_loop", [False, True])
+@pytest.mark.parametrize("binary", [False, True])
+def test_adjacency_matches_torch_oracle(centers, symmetric, self_loop, binary):
+    got = np.asarray(
+        knn_adjacency(centers, k=5, alpha=10.0, symmetric=symmetric,
+                      self_loop=self_loop, binary=binary)
+    )
+    ref = torch_reference_adjacency(centers, 5, 10.0, symmetric, self_loop, binary)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_rw_laplacian_rows(centers):
+    A = knn_adjacency(centers, k=5, symmetric=True, binary=True)
+    L = rw_laplacian(A, eps=1e-6, eps_mode="add")
+    # rows of D^{-1}A sum to ~1 => rows of L sum to ~0
+    np.testing.assert_allclose(np.asarray(jnp.sum(L, axis=-1)), 0.0, atol=1e-4)
+
+
+def test_eigh_tril_matches_torch(centers):
+    A = np.asarray(knn_adjacency(centers, k=5, symmetric=True, binary=True))
+    L = np.asarray(rw_laplacian(A, eps=1e-6, eps_mode="add"))
+    vals_j, vecs_j = eigh_tril(L)
+    vals_t, vecs_t = torch.linalg.eigh(torch.from_numpy(L))
+    np.testing.assert_allclose(np.asarray(vals_j), vals_t.numpy(), atol=1e-4)
+    # eigenvectors up to sign
+    dots = np.abs(np.einsum("bnk,bnk->bk", np.asarray(vecs_j), vecs_t.numpy()))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+
+def test_tril_symmetrize_differs_from_avg():
+    M = np.array([[1.0, 5.0], [2.0, 3.0]], dtype=np.float32)
+    got = np.asarray(tril_symmetrize(M))
+    np.testing.assert_allclose(got, [[1.0, 2.0], [2.0, 3.0]])
+
+
+def test_topk_eigh_smallest_and_largest(centers):
+    A = knn_adjacency(centers, k=5, symmetric=True, binary=True)
+    L = rw_laplacian(A)
+    vals_s, vecs_s, all_vals, all_vecs = topk_eigh(L, 4, smallest=True)
+    vals_l, vecs_l, _, _ = topk_eigh(L, 4, smallest=False)
+    assert vals_s.shape == (2, 4) and vecs_s.shape == (2, 32, 4)
+    v = np.asarray(all_vals)
+    np.testing.assert_allclose(np.asarray(vals_s), np.sort(v, -1)[:, :4], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vals_l), np.sort(v, -1)[:, ::-1][:, :4], atol=1e-6)
+    # Rayleigh check: vecs are eigenvectors of the tril-symmetrized L
+    Ls = np.asarray(tril_symmetrize(L))
+    resid = np.einsum("bij,bjk->bik", Ls, np.asarray(vecs_s)) - np.asarray(vals_s)[:, None, :] * np.asarray(vecs_s)
+    assert np.abs(resid).max() < 1e-3
+
+
+def test_sort_orders(centers):
+    A = knn_adjacency(centers, k=5, symmetric=True, binary=True)
+    L = rw_laplacian(A)
+    _, vecs, _, _ = topk_eigh(L, 4, smallest=True)
+    orders = np.asarray(sort_orders_by_eigenvectors(vecs))
+    assert orders.shape == (2, 4, 32)
+    v = np.asarray(vecs)
+    for b in range(2):
+        for i in range(4):
+            sorted_vals = v[b, orders[b, i], i]
+            assert np.all(np.diff(sorted_vals) >= -1e-7)
+
+
+def test_multilevel_codes():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((2, 16, 4)).astype(np.float32)
+    codes = np.asarray(multilevel_codes(vecs, 4))
+    assert codes.shape == (2, 16)
+    # torch-equivalent oracle
+    t = torch.from_numpy(vecs)
+    means = t.mean(dim=1, keepdim=True)
+    bits = (t >= means)[:, :, :4]
+    powers = 2 ** torch.arange(3, -1, -1)
+    ref = (bits * powers[None, None, :]).sum(-1)
+    np.testing.assert_allclose(codes, ref.numpy())

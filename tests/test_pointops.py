@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from si_mamba_tpu.ops import (
+    fps,
+    gather_points,
+    group_points,
+    knn,
+    pairwise_dist,
+    pairwise_sqdist,
+    pairwise_sqdist_exact,
+)
+
+
+def _np_pairwise_sq(x, y):
+    return ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+
+
+@pytest.fixture
+def clouds():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 64, 3)).astype(np.float32)
+
+
+def test_pairwise_matches_numpy(clouds):
+    ref = _np_pairwise_sq(clouds, clouds)
+    np.testing.assert_allclose(pairwise_sqdist_exact(clouds, clouds), ref, rtol=1e-6)
+    np.testing.assert_allclose(pairwise_sqdist(clouds, clouds), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pairwise_dist(clouds, clouds), np.sqrt(ref), rtol=1e-5, atol=1e-6)
+
+
+def _np_fps(points, n, start=0):
+    B, N, _ = points.shape
+    out = np.zeros((B, n), dtype=np.int64)
+    for b in range(B):
+        idxs = [start]
+        mind = np.full(N, np.inf)
+        for i in range(1, n):
+            d = ((points[b] - points[b, idxs[-1]]) ** 2).sum(-1)
+            mind = np.minimum(mind, d)
+            idxs.append(int(np.argmax(mind)))
+        out[b] = idxs
+    return out
+
+
+def test_fps_matches_numpy_oracle(clouds):
+    got = np.asarray(fps(clouds, 16))
+    ref = _np_fps(clouds, 16)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fps_spreads_points(clouds):
+    # FPS must pick distinct indices and cover better than the first-n prefix.
+    idx = np.asarray(fps(clouds, 16))
+    for b in range(idx.shape[0]):
+        assert len(set(idx[b].tolist())) == 16
+
+
+def test_fps_random_start():
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((3, 32, 3)).astype(np.float32)
+    starts = jnp.array([0, 5, 11], dtype=jnp.int32)
+    idx = np.asarray(fps(pts, 8, start_idx=starts))
+    np.testing.assert_array_equal(idx[:, 0], [0, 5, 11])
+
+
+def test_knn_matches_numpy(clouds):
+    q = clouds[:, :10]
+    idx = np.asarray(knn(q, clouds, 5))
+    d = _np_pairwise_sq(q, clouds)
+    ref = np.argsort(d, axis=-1, kind="stable")[..., :5]
+    # compare as sets per query (top_k tie order may differ)
+    for b in range(idx.shape[0]):
+        for i in range(idx.shape[1]):
+            assert set(idx[b, i].tolist()) == set(ref[b, i].tolist())
+    # nearest must be the query itself
+    np.testing.assert_array_equal(idx[..., 0], np.arange(10)[None, :].repeat(2, 0))
+
+
+def test_group_points_shapes(clouds):
+    idx = knn(clouds[:, :8], clouds, 4)
+    grouped = group_points(clouds, idx)
+    assert grouped.shape == (2, 8, 4, 3)
+    g = gather_points(clouds, idx[:, :, 0])
+    np.testing.assert_allclose(grouped[:, :, 0], g)
+
+
+def test_ops_jittable(clouds):
+    f = jax.jit(lambda p: group_points(p, knn(gather_points(p, fps(p, 8)), p, 4)))
+    out = f(clouds)
+    assert out.shape == (2, 8, 4, 3)
