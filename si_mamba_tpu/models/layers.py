@@ -1,0 +1,225 @@
+"""Mamba mixer / block / stack as flax modules.
+
+Mirrors the reference block structure (reference models/block.py:17-76 and
+models/point_mamba.py:147-272 MixerModel) with mamba-ssm 1.1.1 mixer
+semantics, re-expressed functionally for XLA: the non-fused add→norm→mixer
+path is the ground-truth math (XLA fuses add+LN on its own; no Triton kernel
+needed — SURVEY.md §2.3 N3).
+
+Initializers replicate the torch defaults so from-scratch training matches:
+- Linear / Conv1d: kaiming_uniform(a=√5) ⇒ U(-1/√fan_in, 1/√fan_in)
+- dt_proj: weight U(±dt_rank^-1/2); bias = softplus^{-1}(exp(U·log-range))
+- out_proj additionally divided by √n_layer (GPT-2 residual rescale,
+  reference models/point_mamba.py:115-144).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from si_mamba_tpu.ops.selective_scan import causal_conv1d, selective_scan
+
+
+def torch_linear_init(scale: float = 1.0):
+    """U(-scale/sqrt(fan_in), +scale/sqrt(fan_in)) for kernels shaped (in, out)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        bound = scale / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _uniform_bound(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _dt_bias_init(dt_min: float = 1e-3, dt_max: float = 0.1, floor: float = 1e-4):
+    """Inverse-softplus of a log-uniform dt sample (mamba-ssm dt_proj init)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.maximum(dt, floor)
+        inv = dt + jnp.log(-jnp.expm1(-dt))
+        return inv.astype(dtype)
+
+    return init
+
+
+def _a_log_init(d_inner: int, d_state: int):
+    def init(key, shape, dtype=jnp.float32):
+        a = jnp.tile(jnp.arange(1, d_state + 1, dtype=jnp.float32), (d_inner, 1))
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+class MambaMixer(nn.Module):
+    """Mamba-v1 selective-SSM token mixer (replaces mamba-ssm CUDA Mamba)."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Optional[int] = None
+    out_proj_div: float = 1.0  # GPT-2 rescale: sqrt(n_residuals * n_layer)
+    scan_impl: str = "assoc"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_inner = self.expand * self.d_model
+        dt_rank = self.dt_rank if self.dt_rank is not None else math.ceil(self.d_model / 16)
+
+        def scaled_out_init(key, shape, dtype=jnp.float32):
+            return torch_linear_init()(key, shape, dtype) / self.out_proj_div
+
+        params = {
+            "in_proj_w": self.param("in_proj", torch_linear_init(), (self.d_model, 2 * d_inner)),
+            "conv_w": self.param("conv1d_weight", _uniform_bound(1 / math.sqrt(self.d_conv)),
+                                 (d_inner, self.d_conv)),
+            "conv_b": self.param("conv1d_bias", _uniform_bound(1 / math.sqrt(self.d_conv)),
+                                 (d_inner,)),
+            "x_proj_w": self.param("x_proj", torch_linear_init(),
+                                   (d_inner, dt_rank + 2 * self.d_state)),
+            "dt_proj_w": self.param("dt_proj", _uniform_bound(dt_rank**-0.5),
+                                    (dt_rank, d_inner)),
+            "dt_proj_b": self.param("dt_proj_bias", _dt_bias_init(), (d_inner,)),
+            "A_log": self.param("A_log", _a_log_init(d_inner, self.d_state),
+                                (d_inner, self.d_state)),
+            "D": self.param("D", nn.initializers.ones, (d_inner,)),
+            "out_proj_w": self.param("out_proj", scaled_out_init, (d_inner, self.d_model)),
+        }
+        x = x.astype(self.dtype)
+        from si_mamba_tpu.ops.selective_scan import mamba_mixer_apply
+
+        return mamba_mixer_apply(params, x, d_state=self.d_state, dt_rank=dt_rank,
+                                 impl=self.scan_impl)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Block(nn.Module):
+    """Add → Norm → Mixer prenorm-variant block (reference models/block.py:17-76).
+
+    Returns (mixer_output, residual) where residual is the pre-norm sum; the
+    very first block takes residual=None and skips DropPath on its input.
+    """
+
+    d_model: int
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    drop_path: float = 0.0
+    residual_in_fp32: bool = False
+    out_proj_div: float = 1.0
+    scan_impl: str = "assoc"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual=None, deterministic: bool = True):
+        if residual is None:
+            residual = hidden
+        else:
+            residual = DropPath(self.drop_path)(hidden, deterministic) + residual
+        if self.residual_in_fp32:
+            residual = residual.astype(jnp.float32)
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        h = norm_cls(epsilon=self.norm_eps, name="norm", dtype=self.dtype)(residual)
+        h = MambaMixer(self.d_model, out_proj_div=self.out_proj_div,
+                       scan_impl=self.scan_impl, dtype=self.dtype, name="mixer")(h)
+        return h, residual
+
+
+class MixerModel(nn.Module):
+    """Stack of Mamba blocks + final norm (reference models/point_mamba.py:178-272)."""
+
+    d_model: int
+    n_layer: int
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    drop_path: float = 0.0
+    drop_out_in_block: float = 0.0
+    residual_in_fp32: bool = False
+    scan_impl: str = "assoc"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos, deterministic: bool = True):
+        hidden = x + pos
+        residual = None
+        div = math.sqrt(self.n_layer)  # n_residuals_per_layer=1
+        for i in range(self.n_layer):
+            hidden, residual = Block(
+                self.d_model, rms_norm=self.rms_norm, norm_eps=self.norm_eps,
+                drop_path=self.drop_path, residual_in_fp32=self.residual_in_fp32,
+                out_proj_div=div, scan_impl=self.scan_impl, dtype=self.dtype,
+                name=f"layers_{i}",
+            )(hidden, residual, deterministic)
+            if self.drop_out_in_block > 0:
+                hidden = nn.Dropout(self.drop_out_in_block)(hidden, deterministic=deterministic)
+        residual = hidden + residual if residual is not None else hidden
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        return norm_cls(epsilon=self.norm_eps, name="norm_f", dtype=self.dtype)(residual)
+
+
+class MixerModelAdd(nn.Module):
+    """MixerModel that re-sorts tokens by the top-k eigenvectors after every
+    layer (reference ``MixerModel_add``, models/point_mamba.py:281-428,
+    ``add_after_layer`` config): merge the 2k traversals back to original
+    token order via inverse-permutation gather (``cross_merg`` :350-370), sum
+    them, then rebuild the k sorted traversals + reversed copy.
+    """
+
+    d_model: int
+    n_layer: int
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    drop_path: float = 0.0
+    drop_out_in_block: float = 0.0
+    scan_impl: str = "assoc"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos, eigvecs, reverse: bool = True, deterministic: bool = True):
+        from si_mamba_tpu.models.ordering import cross_merge, resort_sequence
+
+        hidden = x + pos
+        residual = None
+        div = math.sqrt(self.n_layer)
+        for i in range(self.n_layer):
+            hidden, residual = Block(
+                self.d_model, rms_norm=self.rms_norm, norm_eps=self.norm_eps,
+                drop_path=self.drop_path, out_proj_div=div, scan_impl=self.scan_impl,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(hidden, residual, deterministic)
+            if self.drop_out_in_block > 0:
+                hidden = nn.Dropout(self.drop_out_in_block)(hidden, deterministic=deterministic)
+            merged = cross_merge(hidden, eigvecs)  # (B, G, D) summed over traversals
+            hidden = resort_sequence(merged, eigvecs, reverse=reverse)
+        residual = hidden + residual if residual is not None else hidden
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        return norm_cls(epsilon=self.norm_eps, name="norm_f", dtype=self.dtype)(residual)

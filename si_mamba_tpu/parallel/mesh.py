@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL/DDP stack (utils/dist_utils.py, SURVEY.md §2.2).
+
+Strategy: one ``data`` mesh axis over ICI (extendable to ('data', 'model')
+for future tensor sharding). The train step is a single jitted function over
+globally-sharded arrays; XLA inserts the gradient psum — there are no
+explicit collectives to maintain. BatchNorm statistics are computed on the
+global batch by construction (== the reference's --sync_bn).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              axis_names: tuple[str, ...] = ("data",),
+              shape: tuple[int, ...] | None = None) -> Mesh:
+    """Build a Mesh over all (or the given) devices.
+
+    Default: 1-D ('data',) mesh. Pass shape + axis_names for multi-axis
+    layouts, e.g. shape=(4, 2), axis_names=('data', 'model').
+    """
+    if devices is None:
+        devices = jax.devices()
+    devs = np.asarray(devices)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device-put every leaf of a batch pytree sharded on its leading dim."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,81 @@
+"""Optimizer + LR schedule builders (optax), matching the reference's
+``build_opti_sche`` (tools/builder.py:55-109):
+
+- AdamW with the weight-decay skip-list: no decay for 1-D params, biases, and
+  any param whose path contains 'token' (builder.py:58-72);
+- timm CosineLRScheduler semantics: per-EPOCH stepped linear warmup from
+  warmup_lr_init to base over ``initial_epochs``, then cosine from base to
+  lr_min over the remaining epochs (cycle_limit=1, t_in_epochs=True);
+- global-norm gradient clipping (config ``grad_norm_clip``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def wd_mask(params: Any) -> Any:
+    """True (apply weight decay) for >=2-D params not named *bias*/*token*."""
+
+    def keep(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        joined = "/".join(str(n) for n in names).lower()
+        if leaf.ndim <= 1 or "bias" in joined or "token" in joined:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def cosine_warmup_epoch_schedule(base_lr: float, epochs: int, warmup_epochs: int,
+                                 steps_per_epoch: int, lr_min: float = 1e-6,
+                                 warmup_lr_init: float = 1e-6):
+    """timm CosineLRScheduler(t_in_epochs=True) as an optax schedule on steps."""
+
+    def schedule(step):
+        epoch = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
+        warm = warmup_lr_init + (base_lr - warmup_lr_init) * epoch / max(warmup_epochs, 1)
+        t = (epoch - warmup_epochs) / max(epochs - warmup_epochs, 1)
+        cos = lr_min + 0.5 * (base_lr - lr_min) * (1.0 + jnp.cos(jnp.pi * t))
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def build_optimizer(params: Any, *, opt_type: str = "AdamW", lr: float = 3e-4,
+                    weight_decay: float = 0.05, epochs: int = 300,
+                    warmup_epochs: int = 10, steps_per_epoch: int = 1,
+                    grad_clip: float | None = 10.0,
+                    sched_type: str = "CosLR") -> tuple[optax.GradientTransformation, Any]:
+    """Returns (tx, schedule). ``params`` is used only to build the wd mask."""
+    if sched_type == "CosLR":
+        schedule = cosine_warmup_epoch_schedule(lr, epochs, warmup_epochs, steps_per_epoch)
+    elif sched_type == "StepLR":
+        # torch StepLR(step_size, gamma) — epochs arg reused as step_size
+        schedule = lambda step: lr * (0.1 ** (step // (steps_per_epoch * epochs)))
+    elif sched_type == "const":
+        schedule = lambda step: lr
+    else:
+        raise NotImplementedError(sched_type)
+
+    if opt_type == "AdamW":
+        opt = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                          weight_decay=weight_decay, mask=wd_mask)
+    elif opt_type == "Adam":
+        opt = optax.adam(schedule)
+    elif opt_type == "SGD":
+        opt = optax.chain(optax.trace(decay=0.9, nesterov=True),
+                          optax.scale_by_learning_rate(schedule))
+    else:
+        raise NotImplementedError(opt_type)
+
+    if grad_clip is not None and grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    else:
+        tx = opt
+    return tx, schedule
