@@ -30,7 +30,11 @@ class PatchEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, point_groups: jax.Array, train: bool = False) -> jax.Array:
-        x = point_groups.astype(self.dtype)
+        B, G, n, _ = point_groups.shape
+        # Rank-3 (B·G, n, C) layout: rank-4 Dense→BN→max chains trip an XLA
+        # TPU fusion-cost CHECK (FusedSpatialMajorConvolution, fusion_util.cc)
+        # — and flat matmuls map straight onto the MXU anyway.
+        x = point_groups.astype(self.dtype).reshape(B * G, n, 3)
         # first_conv: 3 -> 128 -> BN -> ReLU -> 256
         x = nn.Dense(128, kernel_init=trunc_normal_init(), name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -38,15 +42,15 @@ class PatchEncoder(nn.Module):
         x = nn.relu(x)
         x = nn.Dense(256, kernel_init=trunc_normal_init(), name="conv2")(x)
         # global per-group feature, concat back per point
-        g = jnp.max(x, axis=2, keepdims=True)  # (B, G, 1, 256)
-        x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (B, G, n, 512)
+        g = jnp.max(x, axis=1, keepdims=True)  # (BG, 1, 256)
+        x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (BG, n, 512)
         # second_conv: 512 -> 512 -> BN -> ReLU -> C
         x = nn.Dense(512, kernel_init=trunc_normal_init(), name="conv3")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          name="bn2", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dense(self.encoder_channel, kernel_init=trunc_normal_init(), name="conv4")(x)
-        return jnp.max(x, axis=2)  # (B, G, C)
+        return jnp.max(x, axis=1).reshape(B, G, self.encoder_channel)
 
 
 class PosEmbedMLP(nn.Module):

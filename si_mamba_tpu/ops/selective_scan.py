@@ -117,13 +117,77 @@ def selective_scan_assoc(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     return _finalize(hs, C, u, D, z, u.dtype)
 
 
+def selective_scan_chunked(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                           delta_softplus: bool = True, chunk: int = 64) -> jax.Array:
+    """Memory-bounded scan: ``lax.scan`` over time-chunks with an associative
+    scan inside each chunk.
+
+    The plain associative form materializes (b, l, d_inner, n) fp32
+    temporaries (~768 MB per tensor at B=32, L=512, d=768, n=16) which OOMs
+    a 16 GB chip in the 12-layer backward. Chunking bounds live temporaries
+    to (b, chunk, d, n) while keeping O(log chunk) depth inside a chunk; the
+    cross-chunk carry is the (b, d, n) state. Backward rematerializes per
+    chunk via ``lax.scan``'s checkpointing.
+    """
+    delta32 = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta32 = delta32 + delta_bias.astype(jnp.float32)[None, None, :]
+    if delta_softplus:
+        delta32 = jax.nn.softplus(delta32)
+    u32 = u.astype(jnp.float32)
+    A32 = A.astype(jnp.float32)
+    B32 = B.astype(jnp.float32)
+    C32 = C.astype(jnp.float32)
+    b, l, d = u32.shape
+    n = A32.shape[1]
+    if l % chunk != 0:
+        pad = chunk - l % chunk
+        pad3 = ((0, 0), (0, pad), (0, 0))
+        delta32 = jnp.pad(delta32, pad3)  # delta=0 => dA=1, dBu=0: identity step
+        u32 = jnp.pad(u32, pad3)
+        B32 = jnp.pad(B32, pad3)
+        C32 = jnp.pad(C32, pad3)
+    nc = u32.shape[1] // chunk
+
+    def to_chunks(x):
+        return x.reshape(b, nc, chunk, x.shape[-1]).transpose(1, 0, 2, 3)
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    def chunk_step(h0, inp):
+        d_c, u_c, b_c, c_c = inp  # (b, chunk, d|n)
+        # discretize within the chunk: (b, chunk, d, n) temporaries only
+        dA = jnp.exp(d_c[..., None] * A32[None, None])
+        dBu = (d_c * u_c)[..., None] * b_c[:, :, None, :]
+        acc_a, acc_b = lax.associative_scan(combine, (dA, dBu), axis=1)
+        hs = acc_a * h0[:, None] + acc_b  # prefix from carry
+        # contract the state inside the chunk so full hs never persists
+        y_c = jnp.einsum("bldn,bln->bld", hs, c_c)
+        return hs[:, -1], y_c
+
+    h0 = jnp.zeros((b, d, n), jnp.float32)
+    _, ys = lax.scan(chunk_step, h0,
+                     (to_chunks(delta32), to_chunks(u32), to_chunks(B32), to_chunks(C32)))
+    y = ys.transpose(1, 0, 2, 3).reshape(b, nc * chunk, d)[:, :l]
+    if D is not None:
+        y = y + u.astype(jnp.float32) * D.astype(jnp.float32)[None, None, :]
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(u.dtype)
+
+
 def selective_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                    delta_softplus: bool = True, impl: str = "assoc") -> jax.Array:
-    """Dispatch between implementations ('seq' | 'assoc' | 'pallas')."""
+    """Dispatch between implementations ('seq' | 'assoc' | 'chunked' | 'pallas')."""
     if impl == "seq":
         return selective_scan_seq(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
     if impl == "assoc":
         return selective_scan_assoc(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    if impl == "chunked":
+        return selective_scan_chunked(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
     if impl == "pallas":
         from si_mamba_tpu.ops.pallas.selective_scan_kernel import selective_scan_pallas
 

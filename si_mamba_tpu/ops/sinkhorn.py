@@ -1,0 +1,141 @@
+"""Differentiable sorting via entropic OT (Sinkhorn) with straight-through
+hard permutations — on-device replacement for the reference's
+``sinkhorn_sort`` (models/point_mamba.py:1579-1646), whose Hungarian rounding
+is a scipy CPU sync inside the pretrain forward (SURVEY.md §2.3 N10).
+
+Default rounding is the reference's own greedy row-argmax alternative
+(:1636-1640), expressed as a fixed-trip ``lax.fori_loop`` that stays on
+device. Hungarian is available through ``jax.pure_callback`` for parity
+experiments only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def sinkhorn_soft_perm(scores: jax.Array, epsilon: float = 0.05,
+                       n_iters: int = 40, target: str = "sorted") -> jax.Array:
+    """Soft permutation matrices for sorting each score vector.
+
+    scores: (..., N) -> (..., N, N) doubly stochastic (float32).
+
+    target='sorted': cost C_ij = (sort(s)_i - s_j)^2 — true differentiable
+    sorting (the reference's new_layers.py:94-119 semantics): row i of the
+    hard rounding points at the i-th smallest score, so P @ x is x sorted
+    ascending by score.
+    target='self': cost against the unsorted vector itself — the reference
+    HEAD's models/point_mamba.py:1579-1599 variant, whose optimal plan is
+    the IDENTITY (OT of a distribution onto itself), making the wavelet
+    traversal orders degenerate no-ops at HEAD. Kept for behavioral parity
+    experiments only.
+    """
+    s = scores.astype(jnp.float32)
+    tgt = jnp.sort(s, axis=-1) if target == "sorted" else s
+    C = (tgt[..., :, None] - s[..., None, :]) ** 2
+    # log-domain Sinkhorn: identical fixed point to the kernel-domain u/v
+    # iterations but immune to exp(-C/eps) underflow at small epsilon.
+    N = s.shape[-1]
+    logK = -C / epsilon
+    log_r = -jnp.log(jnp.asarray(N, jnp.float32))
+    f = jnp.zeros_like(s)
+    g = jnp.zeros_like(s)
+
+    def body(_, fg):
+        f, g = fg
+        f = log_r - jax.nn.logsumexp(logK + g[..., None, :], axis=-1)
+        g = log_r - jax.nn.logsumexp(logK + f[..., :, None], axis=-2)
+        return f, g
+
+    f, g = lax.fori_loop(0, n_iters, body, (f, g))
+    return jnp.exp(f[..., :, None] + logK + g[..., None, :])
+
+
+def greedy_round(P: jax.Array) -> jax.Array:
+    """Greedy row-by-row argmax assignment → hard permutation (0/1).
+
+    Matches the reference's non-Hungarian rounding: row i takes its argmax
+    among still-available columns; that column is removed for later rows.
+    """
+    N = P.shape[-1]
+    neg = jnp.asarray(-jnp.inf, P.dtype)
+
+    def body(i, carry):
+        avail, out = carry  # avail: (..., N) bool, out: (..., N, N)
+        row = jnp.where(avail, P[..., i, :], neg)
+        col = jnp.argmax(row, axis=-1)  # (...,)
+        onehot = jax.nn.one_hot(col, N, dtype=P.dtype)
+        out = lax.dynamic_update_index_in_dim(out, onehot, i, axis=-2)
+        avail = avail & (onehot < 0.5)
+        return avail, out
+
+    avail = jnp.ones(P.shape[:-2] + (N,), bool)
+    out = jnp.zeros_like(P)
+    _, out = lax.fori_loop(0, N, body, (avail, out))
+    return out
+
+
+def hungarian_round(P: jax.Array) -> jax.Array:
+    """Optimal assignment via scipy on host (pure_callback) — parity use only."""
+    import numpy as np
+
+    def host(p):
+        from scipy.optimize import linear_sum_assignment
+
+        p = np.asarray(p)
+        flat = p.reshape(-1, p.shape[-2], p.shape[-1])
+        out = np.zeros_like(flat)
+        for b in range(flat.shape[0]):
+            row, col = linear_sum_assignment(-flat[b])
+            out[b, row, col] = 1.0
+        return out.reshape(p.shape)
+
+    return jax.pure_callback(host, jax.ShapeDtypeStruct(P.shape, P.dtype), P,
+                             vmap_method="sequential")
+
+
+def sinkhorn_sort_perm(scores: jax.Array, epsilon: float = 0.05, n_iters: int = 40,
+                       rounding: str = "greedy", target: str = "sorted"
+                       ) -> tuple[jax.Array, jax.Array]:
+    """(P_straight_through, P_soft) for each (..., N) score vector.
+
+    P has the hard permutation's value with the soft matrix's gradient
+    (P_hard + P_hat - stop_grad(P_hat)) — reference :1644. Note P is the
+    perm such that (P @ x) is x *ranked by score* when target='sorted'.
+    """
+    P_hat = sinkhorn_soft_perm(scores, epsilon, n_iters, target=target)
+    if rounding == "greedy":
+        P_hard = greedy_round(lax.stop_gradient(P_hat))
+    elif rounding == "hungarian":
+        P_hard = hungarian_round(lax.stop_gradient(P_hat))
+    else:
+        raise ValueError(f"unknown rounding {rounding!r}")
+    P = P_hard + P_hat - lax.stop_gradient(P_hat)
+    return P, P_hat
+
+
+def neural_sort_perm(scores: jax.Array, tau: float = 1.0) -> jax.Array:
+    """NeuralSort relaxation (reference ``neural_sort`` :1649-1698) with
+    straight-through greedy rounding. scores: (..., N) -> (..., N, N)."""
+    s = scores.astype(jnp.float32)
+    n = s.shape[-1]
+    # column-wise absolute-difference sums: Asum_j = sum_k |s_j - s_k|
+    Asum = jnp.sum(jnp.abs(s[..., :, None] - s[..., None, :]), axis=-1)
+    idx = jnp.arange(1, n + 1, dtype=s.dtype)
+    c = n + 1 - 2 * idx  # rank coefficients, row i = rank i (descending)
+    P_max = c[..., :, None] * s[..., None, :] - Asum[..., None, :]
+    P_hat = jax.nn.softmax(P_max / tau, axis=-1)
+    P_hard = greedy_round(lax.stop_gradient(P_hat))
+    return P_hard + P_hat - lax.stop_gradient(P_hat)
+
+
+def plackett_luce_log_prob(logits: jax.Array) -> jax.Array:
+    """log P of the identity ordering under Plackett-Luce (reference
+    ``plackett_luce_dist`` :2131-2132): sum_i (l_i - logsumexp(l_i..l_N))."""
+    rev = logits[..., ::-1]
+    lse = jax.lax.cumlogsumexp(rev, axis=rev.ndim - 1)[..., ::-1]
+    return jnp.sum(logits - lse, axis=-1)

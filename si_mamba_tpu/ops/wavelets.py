@@ -1,0 +1,178 @@
+"""Graph wavelet transforms for traversal-order generation (pretrain path).
+
+Batched, jit-friendly re-implementations of the reference's wavelet stack
+(models/point_mamba.py:1324-1429 Chebyshev/Meyer SGWT; :1826-2087 diffusion
+wavelets + learned SGWT mixer). All linear algebra is batched XLA
+(matrix_exp via jax.scipy, Gram-eigh low-rank factorization, QR complements)
+— no per-sample loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Meyer tight-frame Chebyshev SGWT (reference GraphWaveletTransform)
+# ---------------------------------------------------------------------------
+
+def _meyer_window(lam: jax.Array, lam1: float = 0.5, lam2: float = 1.0) -> jax.Array:
+    t = jnp.clip((lam - lam1) / (lam2 - lam1), 0.0, 1.0)
+    mid = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+    return jnp.where(lam < lam1, 1.0, jnp.where(lam > lam2, 0.0, mid))
+
+
+def chebyshev_sgwt(x: jax.Array, laplacian: jax.Array, K: int = 25, J: int = 4,
+                   tight_frame: bool = True, scales: Optional[List[float]] = None,
+                   lam_max: float = 2.0) -> jax.Array:
+    """Chebyshev-polynomial SGWT: (B, N, F), (B, N, N) -> (B, N, F*(J+1 or J)).
+
+    tight_frame=True uses Meyer dyadic kernels (scaling + J wavelets);
+    otherwise heat-like kernels λe^{-tλ} at the given scales.
+    """
+    B, N, F = x.shape
+    I = jnp.eye(N, dtype=x.dtype)
+    L_hat = laplacian - I  # spectrum into [-1, 1]
+
+    polys = [x, jnp.matmul(L_hat, x)]
+    for _ in range(2, K):
+        polys.append(2.0 * jnp.matmul(L_hat, polys[-1]) - polys[-2])
+    P = jnp.stack(polys, axis=0)  # (K, B, N, F)
+
+    k_vec = jnp.arange(K, dtype=x.dtype)
+    lam = jnp.cos(jnp.pi * k_vec / K) + 1.0  # sample points in [0, 2]
+
+    blocks = []
+    if tight_frame:
+        h = _meyer_window(lam / lam_max)
+        g = lambda l: jnp.sqrt(jnp.clip(1.0 - _meyer_window(l / lam_max) ** 2, 0.0))
+        weights = [h] + [g(lam * (2.0**j)) for j in range(J)]
+    else:
+        assert scales is not None
+        weights = [(t * lam) * jnp.exp(-t * lam) for t in scales]
+    for w in weights:
+        blocks.append(jnp.einsum("k,kbnf->bnf", w, P))
+    return jnp.concatenate(blocks, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Diffusion wavelets (reference DiffusionWavelets.fit, :1852-1944)
+# ---------------------------------------------------------------------------
+
+def diffusion_wavelet_bases(L: jax.Array, J: int) -> tuple[list[jax.Array], jax.Array]:
+    """Orthonormal diffusion-wavelet bases on batched Laplacians.
+
+    L: (B, N, N). Returns (W list of (B, N, r_j) for j=0..J-1, VJ (B, N, r_J)).
+    Scale construction: T_j = expm(-log2/lam_max · 2^{j-1} · L); rank
+    schedule r_j = ceil(N / 2^j); low-rank factor via Gram eigh; wavelet
+    complements via projection + QR — all batched.
+    """
+    B, N, _ = L.shape
+    lam_max = 2.0
+    t0 = math.log(2.0) / lam_max
+
+    V_prev = jnp.broadcast_to(jnp.eye(N, dtype=L.dtype), (B, N, N))
+    V_bases = [V_prev]
+    for j in range(1, J + 1):
+        k = max(1, -(-N // (1 << j)))  # ceil(N / 2^j)
+        T = jax.scipy.linalg.expm(-t0 * (2.0 ** (j - 1)) * L)
+        M = jnp.matmul(T, V_prev)  # (B, N, r_prev)
+        C = jnp.matmul(jnp.swapaxes(M, -1, -2), M)  # (B, r, r) Gram
+        evals, V = jnp.linalg.eigh(C.astype(jnp.float32))
+        V_k = V[..., -k:][..., ::-1]
+        sigma = jnp.sqrt(jnp.clip(evals[..., -k:], 1e-12))[..., ::-1]
+        U_k = jnp.matmul(M, V_k.astype(L.dtype))
+        Vj = U_k / sigma[:, None, :].astype(L.dtype)
+        V_bases.append(Vj)
+        V_prev = Vj
+
+    W = []
+    for j in range(J):
+        Vj, Vjp1 = V_bases[j], V_bases[j + 1]
+        proj = jnp.einsum("bip,brp,brq->biq", Vjp1, Vjp1, Vj)
+        Wj = Vj - proj
+        Qj, _ = jnp.linalg.qr(Wj)
+        W.append(Qj.astype(L.dtype))
+    return W, V_bases[-1]
+
+
+class DiffusionWaveletSGWT(nn.Module):
+    """Learned diffusion-wavelet transform producing per-scale node scores
+    (reference DiffusionWaveletSGWT, models/point_mamba.py:1957-2087).
+
+    forward: (x (B,N,F), L (B,N,N)) -> coeffs (B, N, 1, J+1); training adds
+    tau-scaled Gumbel noise (rng collection 'gumbel').
+    """
+
+    J: int = 3
+    in_features: int = 3
+    hidden: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, L: jax.Array, tau: Optional[float] = 0.5,
+                 deterministic: bool = True) -> jax.Array:
+        B, N, F = x.shape
+        W_list, VJ = diffusion_wavelet_bases(L.astype(jnp.float32), self.J)
+
+        ortho = nn.initializers.orthogonal()
+        h = nn.Dense(self.hidden, name="pos_embed_fc1")(x.astype(self.dtype))
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.hidden, name="pos_embed_fc2")(h)
+
+        projs = [jnp.matmul(VJ, jnp.swapaxes(VJ, -1, -2))] + [
+            jnp.matmul(Wj, jnp.swapaxes(Wj, -1, -2)) for Wj in W_list
+        ]
+        PJ = jnp.stack(projs, axis=1).astype(self.dtype)  # (B, J+1, N, N)
+        coeffs = jnp.einsum("bjnm,bmf->bnfj", PJ, h)  # (B, N, hidden, J+1)
+
+        eps = jnp.finfo(coeffs.dtype).eps
+        rms = jnp.sqrt(jnp.mean(coeffs**2, axis=(0, 1), keepdims=True) + eps)
+        coeffs = coeffs / jnp.maximum(rms, 1e-2)
+
+        # residual mixer MLP over flattened (feature × scale)
+        m = coeffs.reshape(B, N, self.hidden * (self.J + 1))
+        m = nn.Dense(2 * self.hidden, kernel_init=ortho, name="mixer_fc1")(m)
+        m = nn.LayerNorm(name="mixer_ln1")(m)
+        m = nn.gelu(m, approximate=False)
+        m = nn.Dense(self.hidden, kernel_init=ortho, name="mixer_fc2")(m)
+        m = nn.LayerNorm(name="mixer_ln2")(m)
+        m = nn.gelu(m, approximate=False)
+        m = nn.Dense(self.hidden * (self.J + 1), kernel_init=ortho, name="mixer_fc3")(m)
+        coeffs = coeffs + m.reshape(coeffs.shape)
+
+        # collapse features to a scalar per (node, scale)
+        coeffs = jnp.sqrt(jnp.sum(coeffs**2, axis=2, keepdims=True)) / coeffs.shape[2]
+
+        if not deterministic and tau is not None:
+            g = -jnp.log(-jnp.log(
+                jax.random.uniform(self.make_rng("gumbel"), coeffs.shape) + eps) + eps)
+            coeffs = coeffs + tau * g
+        return coeffs  # (B, N, 1, J+1)
+
+
+def scale_scores(coeffs: jax.Array, k: Optional[int] = None,
+                 strategy: str = "coarsest_k") -> jax.Array:
+    """Pick k per-scale score vectors from (B, N, F, J) coeffs → (B, N, k)
+    (reference ``traversal_order_from_coeffs_perm`` score/scale selection,
+    models/point_mamba.py:1749-1772)."""
+    B, N, F, J = coeffs.shape
+    if k is None:
+        k = J
+    score = jnp.mean(coeffs, axis=2)  # (B, N, J)
+    if strategy == "coarsest_k":
+        ids = list(range(J - 1, J - 1 - k, -1))
+    elif strategy == "finest_k":
+        ids = list(range(k))
+    elif strategy == "top_energy":
+        energy = jnp.sum(score**2, axis=1).mean(0)  # (J,)
+        ids = jnp.argsort(-energy)[:k]
+        return jnp.take(score, ids, axis=2)
+    else:
+        raise ValueError(strategy)
+    return score[..., jnp.asarray(ids)]

@@ -103,3 +103,27 @@ def test_mixer_apply_shapes_and_grad():
 
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
+
+
+def test_chunked_matches_seq():
+    from si_mamba_tpu.ops.selective_scan import selective_scan_chunked
+
+    args = _rand_inputs(b=2, l=50, d=12, n=6, seed=3)  # l not divisible by chunk
+    y_seq = np.asarray(selective_scan_seq(*args[:5], D=args[5], z=args[6], delta_bias=args[7]))
+    y_ch = np.asarray(selective_scan_chunked(*args[:5], D=args[5], z=args[6],
+                                             delta_bias=args[7], chunk=16))
+    np.testing.assert_allclose(y_ch, y_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_grad_finite():
+    from si_mamba_tpu.ops.selective_scan import selective_scan_chunked
+
+    u, delta, A, B, C, D, z, dt_bias = _rand_inputs(b=1, l=32, d=8, n=4, seed=4)
+
+    def loss(u, delta, A, B, C):
+        return jnp.sum(selective_scan_chunked(u, delta, A, B, C, D=D, z=z,
+                                              delta_bias=dt_bias, chunk=8) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
