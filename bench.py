@@ -27,7 +27,7 @@ def main():
     from si_mamba_tpu.train.train_state import TrainState, make_classifier_train_step
 
     B, N = 32, 1024
-    cfg = PointMambaConfig(scan_impl="assoc")
+    cfg = PointMambaConfig()
     model = PointMamba(cfg)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))

@@ -1,0 +1,83 @@
+"""Batch loader: numpy batching + shuffling + host sharding + background
+prefetch — the torch-DataLoader replacement (reference tools/builder.py:19-47).
+
+Multi-host: each process loads its 1/num_processes shard of the sample index
+space (``process_index``/``process_count``), mirroring DistributedSampler;
+``set_epoch`` semantics come from seeding the shuffle with the epoch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + epoch).permutation(n)
+        if self.process_count > 1:
+            # pad to even shards (DistributedSampler semantics: wrap around)
+            per = -(-n // self.process_count)
+            idx = np.concatenate([idx, idx[: per * self.process_count - n]])
+            idx = idx[self.process_index::self.process_count]
+        return idx
+
+    def __len__(self):
+        n = len(self._epoch_indices(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yields (points (B, N, 3) f32, labels (B,) i32) with prefetching."""
+        idx = self._epoch_indices(epoch)
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+
+        def make(bi):
+            sel = idx[bi * self.batch_size : (bi + 1) * self.batch_size]
+            pts, labels = zip(*(self.dataset[int(i)] for i in sel))
+            return (np.stack(pts).astype(np.float32),
+                    np.asarray(labels, np.int32))
+
+        if self.prefetch <= 0:
+            for bi in range(nb):
+                yield make(bi)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for bi in range(nb):
+                    q.put(make(bi))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def __iter__(self):
+        return self.epoch(0)

@@ -73,7 +73,7 @@ class MambaMixer(nn.Module):
     expand: int = 2
     dt_rank: Optional[int] = None
     out_proj_div: float = 1.0  # GPT-2 rescale: sqrt(n_residuals * n_layer)
-    scan_impl: str = "assoc"
+    scan_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -136,7 +136,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     residual_in_fp32: bool = False
     out_proj_div: float = 1.0
-    scan_impl: str = "assoc"
+    scan_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -164,7 +164,7 @@ class MixerModel(nn.Module):
     drop_path: float = 0.0
     drop_out_in_block: float = 0.0
     residual_in_fp32: bool = False
-    scan_impl: str = "assoc"
+    scan_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -200,7 +200,7 @@ class MixerModelAdd(nn.Module):
     norm_eps: float = 1e-5
     drop_path: float = 0.0
     drop_out_in_block: float = 0.0
-    scan_impl: str = "assoc"
+    scan_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

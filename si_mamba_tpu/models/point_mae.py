@@ -68,7 +68,7 @@ class PointMAEConfig:
     sinkhorn_iters: int = 40
     sinkhorn_rounding: str = "greedy"  # 'hungarian' for host-sync parity runs
     # compute
-    scan_impl: str = "assoc"
+    scan_impl: str = "auto"
     dtype: str = "float32"
 
     @property

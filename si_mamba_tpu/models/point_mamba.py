@@ -55,7 +55,7 @@ class PointMambaConfig:
     matrix: str = "laplacian"  # laplacian | symmetric
     add_after_layer: bool = False
     # compute
-    scan_impl: str = "assoc"
+    scan_impl: str = "auto"
     dtype: str = "float32"
 
     @property

@@ -1,0 +1,114 @@
+"""Orbax checkpointing: {params, batch_stats, opt_state, epoch, metrics}
+with best/last/best_vote variants and resume (reference tools/builder.py:
+112-205 + SURVEY.md §5.4), plus cross-stage pretrain→finetune transfer with
+missing/unexpected reporting (reference models/point_mamba.py:574-604)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _path(exp_dir: str, prefix: str) -> str:
+    return os.path.abspath(os.path.join(exp_dir, prefix))
+
+
+def save_checkpoint(exp_dir: str, prefix: str, state, epoch: int,
+                    metrics: dict | None = None, best_metrics: dict | None = None,
+                    rank: int = 0) -> None:
+    if rank != 0:
+        return
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "meta": {"epoch": epoch, "metrics": metrics or {},
+                 "best_metrics": best_metrics or {}},
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(_path(exp_dir, prefix), payload, force=True)
+
+
+def load_checkpoint(exp_dir: str, prefix: str) -> dict | None:
+    path = _path(exp_dir, prefix)
+    if not os.path.exists(path):
+        return None
+    return ocp.PyTreeCheckpointer().restore(path)
+
+
+def resume_state(exp_dir: str, state):
+    """Restore ckpt-last into a TrainState. Returns (state, start_epoch,
+    best_metrics) or (state, 0, {}) when absent."""
+    payload = load_checkpoint(exp_dir, "ckpt-last")
+    if payload is None:
+        return state, 0, {}
+
+    def restore_like(template, restored):
+        """Orbax returns plain lists/dicts — rebuild the template's pytree
+        structure (namedtuples, tuples, None slots) from restored leaves."""
+        leaves_t, treedef = jax.tree.flatten(template)
+        leaves_r = jax.tree.leaves(restored)
+        assert len(leaves_t) == len(leaves_r), (len(leaves_t), len(leaves_r))
+        return jax.tree.unflatten(
+            treedef, [np.asarray(r, np.asarray(t).dtype)
+                      for t, r in zip(leaves_t, leaves_r)])
+
+    state = state.replace(
+        params=restore_like(state.params, payload["params"]),
+        batch_stats=restore_like(state.batch_stats, payload["batch_stats"]),
+        opt_state=restore_like(state.opt_state, payload["opt_state"]),
+    )
+    meta = payload["meta"]
+    return state, int(meta["epoch"]) + 1, dict(meta.get("best_metrics", {}))
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def transfer_pretrained(variables: dict, pretrained: dict, logger=None) -> dict:
+    """Copy overlapping leaves from a pretrain checkpoint's variables into a
+    finetune model's variables (strict=False semantics with reporting)."""
+    from si_mamba_tpu.train.logging_utils import print_log
+
+    flat_new = _flatten(variables["params"])
+    flat_old = _flatten(pretrained["params"])
+    missing = sorted(set(flat_new) - set(flat_old))
+    unexpected = sorted(set(flat_old) - set(flat_new))
+    mismatched = [k for k in set(flat_new) & set(flat_old)
+                  if np.shape(flat_new[k]) != np.shape(flat_old[k])]
+
+    def merge(dst, src):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = merge(v, src.get(k, {})) if isinstance(src.get(k), dict) else v
+            elif k in src and np.shape(src[k]) == np.shape(v):
+                out[k] = np.asarray(src[k], np.asarray(v).dtype)
+            else:
+                out[k] = v
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = merge(variables["params"], pretrained["params"])
+    if "batch_stats" in variables and "batch_stats" in pretrained:
+        new_vars["batch_stats"] = merge(variables["batch_stats"],
+                                        pretrained["batch_stats"])
+    if missing:
+        print_log(f"missing_keys ({len(missing)}): {missing[:20]}...", logger)
+    if unexpected:
+        print_log(f"unexpected_keys ({len(unexpected)}): {unexpected[:20]}...", logger)
+    if mismatched:
+        print_log(f"shape-mismatched (kept new init): {mismatched}", logger)
+    return new_vars

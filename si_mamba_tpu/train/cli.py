@@ -1,0 +1,170 @@
+"""CLI entry: ``python -m si_mamba_tpu.train.cli --config <yaml> [...]``.
+
+Mirrors the reference's main.py/utils/parser.py surface: --test, --resume,
+--finetune_model (pretrain ckpt), --ckpts, --vote, few-shot --way/--shot/
+--fold, experiment dir layout, config snapshot, seed control. The reference
+YAML configs (cfgs/*.yaml) load unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from si_mamba_tpu.data.datasets import build_dataset
+from si_mamba_tpu.data.loader import Loader
+from si_mamba_tpu.train.config import ConfigDict, get_config, save_experiment_config
+from si_mamba_tpu.train.logging_utils import get_logger, print_log
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("si-mamba-tpu")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--exp_name", type=str, default="default")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--vote", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--ckpts", type=str, default=None)
+    p.add_argument("--finetune_model", type=str, default=None,
+                   help="pretrain checkpoint (orbax dir or torch .pth)")
+    p.add_argument("--scratch_model", action="store_true")
+    p.add_argument("--way", type=int, default=-1)
+    p.add_argument("--shot", type=int, default=-1)
+    p.add_argument("--fold", type=int, default=-1)
+    p.add_argument("--val_freq", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=4)
+    args = p.parse_args(argv)
+    if args.test and args.resume:
+        raise ValueError("--test and --resume cannot be both activated")
+    stem = os.path.splitext(os.path.basename(args.config))[0]
+    args.experiment_path = os.path.join("experiments", stem, args.exp_name)
+    os.makedirs(args.experiment_path, exist_ok=True)
+    return args
+
+
+def _dataset_kwargs(dcfg: ConfigDict, args, subset: str) -> tuple[str, dict]:
+    base = dcfg["_base_"]
+    others = dcfg.get("others", ConfigDict())
+    name = base["NAME"]
+    npoints = others.get("npoints")
+    if name == "ShapeNet":
+        return name, dict(data_path=base["DATA_PATH"], pc_path=base["PC_PATH"],
+                          subset=others.get("subset", subset),
+                          npoints=npoints or base.get("N_POINTS", 1024),
+                          whole=bool(others.get("whole", subset == "train")))
+    if name == "ModelNet":
+        return name, dict(data_path=base["DATA_PATH"],
+                          subset=others.get("subset", subset),
+                          npoints=base.get("N_POINTS", 8192),
+                          num_category=base.get("NUM_CATEGORY", 40),
+                          use_normals=bool(base.get("USE_NORMALS", False)))
+    if name == "ModelNet40SVM":
+        return name, dict(data_path=base["DATA_PATH"],
+                          partition=others.get("partition", subset),
+                          num_points=others.get("num_points", 2048))
+    if name in ("ScanObjectNN", "ScanObjectNN_hardest"):
+        return name, dict(root=base["ROOT"], subset=others.get("subset", subset))
+    if name == "ModelNetFewShot":
+        return name, dict(data_path=base["DATA_PATH"],
+                          subset=others.get("subset", subset),
+                          way=args.way, shot=args.shot, fold=args.fold)
+    raise KeyError(name)
+
+
+def build_loader(dcfg, args, subset: str, batch_size: int, shuffle: bool,
+                 drop_last: bool) -> Loader:
+    import jax
+
+    name, kwargs = _dataset_kwargs(dcfg, args, subset)
+    ds = build_dataset(name, **kwargs)
+    return Loader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
+                  seed=args.seed, process_index=jax.process_index(),
+                  process_count=jax.process_count())
+
+
+def _load_pretrained(path: str):
+    """Accept either a torch .pth (importer) or an orbax checkpoint dir."""
+    if path.endswith(".pth"):
+        from si_mamba_tpu.utils.torch_import import load_pointmamba_checkpoint
+
+        variables, _ = load_pointmamba_checkpoint(path)
+        return variables
+    from si_mamba_tpu.train.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(os.path.dirname(path) or ".", os.path.basename(path))
+    return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+
+
+def main(argv=None):
+    args = get_args(argv)
+    config = get_config(args.config)
+    logger = get_logger("si_mamba_tpu",
+                        os.path.join(args.experiment_path,
+                                     f"{time.strftime('%Y%m%d_%H%M%S')}.log"))
+    save_experiment_config(config, os.path.join(args.experiment_path, "config.yaml"))
+    np.random.seed(args.seed)
+
+    model_name = config.model.NAME
+    bs = int(config.total_bs)
+
+    if model_name == "Point_MAE_Mamba":
+        from si_mamba_tpu.train.runner_pretrain import pretrain_run
+
+        train_loader = build_loader(config.dataset.train, args, "train", bs,
+                                    shuffle=True, drop_last=True)
+        svm_loaders = None
+        if config.dataset.get("svm") is not None:
+            svm_loaders = (
+                build_loader(config.dataset.svm.train, args, "train", 64, True, False),
+                build_loader(config.dataset.svm.test, args, "test", 64, False, False),
+            )
+        pretrain_run(config, train_loader, svm_loaders, args.experiment_path,
+                     resume=args.resume, logger=logger, seed=args.seed,
+                     val_freq=args.val_freq)
+        return
+
+    from si_mamba_tpu.train.runner_finetune import finetune_run, test_run
+
+    if args.test:
+        from si_mamba_tpu.models import PointMamba, PointMambaConfig
+        from si_mamba_tpu.train.checkpoint import load_checkpoint
+        from si_mamba_tpu.train.optim import build_optimizer
+        from si_mamba_tpu.train.train_state import TrainState
+        import jax
+        import jax.numpy as jnp
+
+        test_loader = build_loader(config.dataset.test, args, "test", bs,
+                                   shuffle=False, drop_last=False)
+        model_cfg = PointMambaConfig(**{
+            k: v for k, v in config.model.items()
+            if k in PointMambaConfig.__dataclass_fields__})
+        model = PointMamba(model_cfg)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((2, int(config.npoints), 3)), train=False)
+        if args.ckpts:
+            pre = _load_pretrained(args.ckpts)
+            variables = {"params": pre["params"],
+                         "batch_stats": pre.get("batch_stats",
+                                                variables["batch_stats"])}
+        tx, _ = build_optimizer(variables["params"])
+        state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+        test_run(config, test_loader, state, vote=args.vote, logger=logger)
+        return
+
+    train_loader = build_loader(config.dataset.train, args, "train", bs,
+                                shuffle=True, drop_last=True)
+    val_loader = build_loader(config.dataset.val, args, "test", bs * 2,
+                              shuffle=False, drop_last=False)
+    pretrained = _load_pretrained(args.finetune_model) if args.finetune_model else None
+    finetune_run(config, train_loader, val_loader, args.experiment_path,
+                 pretrained_variables=pretrained, resume=args.resume,
+                 vote=args.vote, logger=logger, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Classification finetune/eval runner (reference tools/runner_finetune.py).
+
+One jitted train step does fps-resample → augmentation → forward → loss →
+grad → AdamW — the whole reference batch body (:168-232) as a single XLA
+program over the data-parallel mesh. Eval and the 10-way vote protocol
+(:345-406) are separate jitted programs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from si_mamba_tpu.data import transforms
+from si_mamba_tpu.models import PointMamba, PointMambaConfig
+from si_mamba_tpu.models.point_mamba import cross_entropy_loss_acc
+from si_mamba_tpu.parallel import make_mesh, shard_batch
+from si_mamba_tpu.train import checkpoint as ckpt
+from si_mamba_tpu.train.logging_utils import AccMetric, AverageMeter, ScalarWriter, print_log
+from si_mamba_tpu.train.optim import build_optimizer
+from si_mamba_tpu.train.train_state import TrainState
+
+
+def _point_all(npoints: int) -> int:
+    table = {1024: 1200, 2048: 2400, 4096: 4800, 8192: 8192}
+    if npoints not in table:
+        raise NotImplementedError(f"npoints={npoints}")
+    return table[npoints]
+
+
+def make_train_step(model: PointMamba, npoints: int, rotation: bool):
+    """Train step with the reference's input pipeline folded in:
+    FPS-oversample → random-subsample → rotate / scale+translate."""
+
+    def step(state: TrainState, points, labels, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        k_fps, k_aug, k_drop, k_order = jax.random.split(rng, 4)
+        pts = transforms.fps_resample(points, k_fps, npoints)
+        if rotation:
+            pts = transforms.rotate_y(pts, k_aug)
+        else:
+            pts = transforms.scale_and_translate(pts, k_aug)
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop, "order": k_order})
+            per, acc = cross_entropy_loss_acc(logits, labels)
+            return jnp.mean(per), (updates["batch_stats"], acc)
+
+        (loss, (bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=bs)
+        return state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_eval_step(model: PointMamba, npoints: int):
+    """Eval forward: deterministic FPS to npoints (reference validate
+    :313-321 uses misc.fps, deterministic start)."""
+
+    def step(state: TrainState, points):
+        from si_mamba_tpu.ops.pointops import fps, gather_points
+
+        pts = gather_points(points, fps(points, npoints)) \
+            if points.shape[1] > npoints else points
+        return model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           pts, train=False)
+
+    return step
+
+
+def make_vote_step(model: PointMamba, npoints: int, rotation: bool):
+    """One vote pass: FPS-resample + augmentation + forward (logits)."""
+
+    def step(state: TrainState, points, rng):
+        k_fps, k_aug = jax.random.split(rng)
+        pts = transforms.fps_resample(points, k_fps, npoints)
+        if rotation:
+            pts = transforms.rotate_y(pts, k_aug)
+        else:
+            pts = transforms.scale_and_translate(pts, k_aug)
+        return model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           pts, train=False)
+
+    return step
+
+
+def validate(eval_step, state, loader, epoch: int = 0) -> float:
+    correct = total = 0
+    for pts, labels in loader.epoch(0):
+        logits = np.asarray(eval_step(state, jnp.asarray(pts)))
+        correct += int((logits.argmax(-1) == labels).sum())
+        total += len(labels)
+    return 100.0 * correct / max(total, 1)
+
+
+def validate_vote(vote_step, state, loader, times: int = 10, seed: int = 0) -> float:
+    """Average logits over ``times`` stochastic passes (reference :345-406)."""
+    correct = total = 0
+    for pts, labels in loader.epoch(0):
+        pts = jnp.asarray(pts)
+        acc_logits = None
+        for v in range(times):
+            logits = vote_step(state, pts, jax.random.key(seed * 1000 + v))
+            acc_logits = logits if acc_logits is None else acc_logits + logits
+        pred = np.asarray(acc_logits).argmax(-1)
+        correct += int((pred == labels).sum())
+        total += len(labels)
+    return 100.0 * correct / max(total, 1)
+
+
+def finetune_run(config, train_loader, val_loader, exp_dir: str,
+                 pretrained_variables: Optional[dict] = None,
+                 resume: bool = False, vote: bool = False,
+                 logger=None, seed: int = 0):
+    """Full finetune loop: epochs × steps, per-epoch validate, best/last
+    checkpoints, optional vote protocol above the reference thresholds."""
+    model_cfg = PointMambaConfig(**{
+        k: v for k, v in config.model.items()
+        if k in PointMambaConfig.__dataclass_fields__})
+    model = PointMamba(model_cfg)
+    npoints = int(config.npoints)
+    rotation = bool(config.model.get("rotation", False))
+
+    dummy = jnp.zeros((2, npoints, 3), jnp.float32)
+    variables = model.init(jax.random.key(seed), dummy, train=False)
+    if pretrained_variables is not None:
+        variables = ckpt.transfer_pretrained(variables, pretrained_variables, logger)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx, sched = build_optimizer(
+        variables["params"], opt_type=config.optimizer.type,
+        lr=float(config.optimizer.kwargs.lr),
+        weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
+        epochs=int(config.scheduler.kwargs.epochs),
+        warmup_epochs=int(config.scheduler.kwargs.initial_epochs),
+        steps_per_epoch=steps_per_epoch,
+        grad_clip=float(config.get("grad_norm_clip", 0) or 0) or None,
+        sched_type=config.scheduler.type)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    start_epoch, best = 0, {}
+    if resume:
+        state, start_epoch, best = ckpt.resume_state(exp_dir, state)
+    best_metrics = AccMetric(best.get("acc", 0.0))
+    best_vote = AccMetric(0.0)
+
+    mesh = make_mesh()
+    train_step = jax.jit(make_train_step(model, npoints, rotation), donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model, npoints))
+    vote_step = jax.jit(make_vote_step(model, npoints, rotation))
+    writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
+    rng = jax.random.key(seed)
+
+    max_epoch = int(config.max_epoch)
+    for epoch in range(start_epoch, max_epoch + 1):
+        t0 = time.time()
+        meters = AverageMeter(["loss", "acc"])
+        for pts, labels in train_loader.epoch(epoch):
+            batch = shard_batch((jnp.asarray(pts), jnp.asarray(labels)), mesh)
+            state, m = train_step(state, *batch, rng)
+            meters.update([float(m["loss"]), float(m["acc"])])
+        lr_now = float(sched(int(state.step)))
+        print_log(f"[Training] EPOCH: {epoch} EpochTime = {time.time()-t0:.3f} (s) "
+                  f"Losses = {['%.4f' % v for v in meters.avg()]} lr = {lr_now:.6f}",
+                  logger)
+        writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)
+        writer.add_scalar("LR", lr_now, epoch)
+
+        acc = validate(eval_step, state, val_loader, epoch)
+        writer.add_scalar("Metric/ACC", acc, epoch)
+        print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}", logger)
+        metrics = AccMetric(acc)
+        if metrics.better_than(best_metrics):
+            best_metrics = metrics
+            ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch,
+                                 metrics.state_dict(), best_metrics.state_dict())
+        if vote and (acc > 92.1 or (metrics.better_than(best_metrics) and acc > 91)):
+            vacc = validate_vote(vote_step, state, val_loader)
+            writer.add_scalar("Metric/ACC_vote", vacc, epoch)
+            if AccMetric(vacc).better_than(best_vote):
+                best_vote = AccMetric(vacc)
+                ckpt.save_checkpoint(exp_dir, "ckpt-best_vote", state, epoch,
+                                     {"acc": vacc}, best_vote.state_dict())
+        ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch,
+                             metrics.state_dict(), best_metrics.state_dict())
+    writer.close()
+    return state, best_metrics
+
+
+def test_run(config, test_loader, state_or_variables, vote: bool = False,
+             logger=None):
+    """Test path (reference test_net :409-467): plain eval or the 300×10
+    best-of vote."""
+    model_cfg = PointMambaConfig(**{
+        k: v for k, v in config.model.items()
+        if k in PointMambaConfig.__dataclass_fields__})
+    model = PointMamba(model_cfg)
+    npoints = int(config.npoints)
+    eval_step = jax.jit(make_eval_step(model, npoints))
+    acc = validate(eval_step, state_or_variables, test_loader)
+    print_log(f"[TEST] acc = {acc:.4f}", logger)
+    if vote:
+        rotation = bool(config.model.get("rotation", False))
+        vote_step = jax.jit(make_vote_step(model, npoints, rotation))
+        best = 0.0
+        for t in range(300):
+            vacc = validate_vote(vote_step, state_or_variables, test_loader,
+                                 times=10, seed=t)
+            best = max(best, vacc)
+            if t % 10 == 0:
+                print_log(f"[TEST_VOTE] iter {t}: acc {vacc:.4f} best {best:.4f}",
+                          logger)
+        print_log(f"[TEST_VOTE] final best acc = {best:.4f}", logger)
+        return best
+    return acc

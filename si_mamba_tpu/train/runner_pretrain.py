@@ -1,0 +1,158 @@
+"""MAE pretraining runner (reference tools/runner_pretrain.py:80-392):
+tau schedule, jitted train step (scale+translate aug folded in), SVM
+linear-probe validation over mean+max pooled noaug features."""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from si_mamba_tpu.data import transforms
+from si_mamba_tpu.models import PointMAEMamba, PointMAEConfig
+from si_mamba_tpu.parallel import make_mesh, shard_batch
+from si_mamba_tpu.train import checkpoint as ckpt
+from si_mamba_tpu.train.logging_utils import AccMetric, AverageMeter, ScalarWriter, print_log
+from si_mamba_tpu.train.optim import build_optimizer
+from si_mamba_tpu.train.train_state import TrainState
+
+
+def tau_schedule(epoch: int, start_tau: float = 0.01, max_tau: float = 1.0,
+                 warmup_epochs: int = 20, total_epochs: int = 300) -> float:
+    """Linear warmup to max_tau then cosine anneal back to start_tau
+    (reference runner_pretrain.py:34-44)."""
+    if epoch < 0:
+        return start_tau
+    if epoch < warmup_epochs:
+        return start_tau + (max_tau - start_tau) * epoch / max(warmup_epochs, 1)
+    t = (epoch - warmup_epochs) / max(total_epochs - warmup_epochs, 1)
+    return start_tau + 0.5 * (max_tau - start_tau) * (1 + math.cos(math.pi * t))
+
+
+def make_pretrain_step(model: PointMAEMamba):
+    def step(state: TrainState, points, rng, tau):
+        rng = jax.random.fold_in(rng, state.step)
+        k_aug, k_mask, k_drop, k_gum = jax.random.split(rng, 4)
+        pts = transforms.scale_and_translate(points, k_aug)
+
+        def loss_fn(params):
+            loss, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, train=True, tau=tau, mutable=["batch_stats"],
+                rngs={"mask": k_mask, "dropout": k_drop, "gumbel": k_gum})
+            return loss, updates["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=bs)
+        return state, {"loss": loss}
+
+    return step
+
+
+def make_feature_step(model: PointMAEMamba):
+    """noaug visible-token features → mean+max pooled descriptor (reference
+    evaluate-svm feature extraction, runner_pretrain.py:330-381)."""
+
+    def step(state: TrainState, points):
+        feats = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                            points, train=False, noaug=True)
+        return jnp.concatenate([feats.max(axis=1), feats.mean(axis=1)], axis=-1)
+
+    return step
+
+
+def evaluate_svm(train_feats, train_labels, test_feats, test_labels) -> float:
+    """Host-side linear SVM probe (reference runner_pretrain.py:66-77)."""
+    from sklearn.svm import SVC
+
+    clf = SVC(C=0.01, kernel="linear")
+    clf.fit(train_feats, train_labels)
+    return float(clf.score(test_feats, test_labels)) * 100.0
+
+
+def svm_probe(feature_step, state, svm_train_loader, svm_test_loader) -> float:
+    def collect(loader):
+        fs, ls = [], []
+        for pts, labels in loader.epoch(0):
+            fs.append(np.asarray(feature_step(state, jnp.asarray(pts))))
+            ls.append(labels)
+        return np.concatenate(fs), np.concatenate(ls)
+
+    trf, trl = collect(svm_train_loader)
+    tef, tel = collect(svm_test_loader)
+    return evaluate_svm(trf, trl, tef, tel)
+
+
+def pretrain_run(config, train_loader, svm_loaders, exp_dir: str,
+                 resume: bool = False, logger=None, seed: int = 0,
+                 val_freq: int = 1):
+    tcfg = dict(config.model.transformer_config)
+    mae_fields = PointMAEConfig.__dataclass_fields__
+    kwargs = {k: v for k, v in tcfg.items() if k in mae_fields}
+    kwargs.update({k: v for k, v in config.model.items()
+                   if k in mae_fields and k != "NAME"})
+    model_cfg = PointMAEConfig(**kwargs)
+    model = PointMAEMamba(model_cfg)
+    npoints = int(config.npoints)
+
+    dummy = jnp.zeros((2, npoints, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(seed), "mask": jax.random.key(1),
+         "gumbel": jax.random.key(2)}, dummy, train=False)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx, sched = build_optimizer(
+        variables["params"], opt_type=config.optimizer.type,
+        lr=float(config.optimizer.kwargs.lr),
+        weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
+        epochs=int(config.scheduler.kwargs.epochs),
+        warmup_epochs=int(config.scheduler.kwargs.initial_epochs),
+        steps_per_epoch=steps_per_epoch,
+        grad_clip=float(config.get("grad_norm_clip", 0) or 0) or None,
+        sched_type=config.scheduler.type)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    start_epoch, best = 0, {}
+    if resume:
+        state, start_epoch, best = ckpt.resume_state(exp_dir, state)
+    best_metrics = AccMetric(best.get("acc", 0.0))
+
+    mesh = make_mesh()
+    train_step = jax.jit(make_pretrain_step(model), donate_argnums=(0,))
+    feature_step = jax.jit(make_feature_step(model))
+    writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
+    rng = jax.random.key(seed)
+
+    max_epoch = int(config.max_epoch)
+    for epoch in range(start_epoch, max_epoch + 1):
+        t0 = time.time()
+        tau = tau_schedule(epoch, total_epochs=max_epoch)
+        meters = AverageMeter(["loss"])
+        for pts, _ in train_loader.epoch(epoch):
+            (pts_s,) = shard_batch((jnp.asarray(pts),), mesh)
+            state, m = train_step(state, pts_s, rng, tau)
+            meters.update([float(m["loss"])])
+        print_log(f"[Training] EPOCH: {epoch} EpochTime = {time.time()-t0:.3f} (s) "
+                  f"Losses = {meters.avg(0):.6f} tau = {tau:.4f}", logger)
+        writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)
+
+        if svm_loaders is not None and epoch % val_freq == 0 and epoch != 0:
+            acc = svm_probe(feature_step, state, *svm_loaders)
+            writer.add_scalar("Metric/SVM_ACC", acc, epoch)
+            print_log(f"[Validation] EPOCH: {epoch}  svm_acc = {acc:.4f}", logger)
+            if AccMetric(acc).better_than(best_metrics):
+                best_metrics = AccMetric(acc)
+                ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch,
+                                     {"acc": acc}, best_metrics.state_dict())
+        ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch, {},
+                             best_metrics.state_dict())
+        # periodic snapshots every 25 epochs after 250 (reference :303-311)
+        if epoch >= 250 and epoch % 25 == 0:
+            ckpt.save_checkpoint(exp_dir, f"ckpt-epoch-{epoch:03d}", state, epoch,
+                                 {}, best_metrics.state_dict())
+    writer.close()
+    return state, best_metrics
