@@ -157,7 +157,11 @@ def selective_scan_chunked(u, delta, A, B, C, D=None, z=None, delta_bias=None,
         a2, b2 = y
         return a1 * a2, a2 * b1 + b2
 
+    @jax.checkpoint
     def chunk_step(h0, inp):
+        # jax.checkpoint: without it lax.scan's linearization would SAVE the
+        # (b, chunk, d, n) intermediates of every chunk — recreating the full
+        # (b, l, d, n) memory footprint in the backward pass.
         d_c, u_c, b_c, c_c = inp  # (b, chunk, d|n)
         # discretize within the chunk: (b, chunk, d, n) temporaries only
         dA = jnp.exp(d_c[..., None] * A32[None, None])

@@ -1,0 +1,155 @@
+"""Part-segmentation trainer + per-category mIoU eval (reference
+part_segmentation/main.py:79-363)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from si_mamba_tpu.data.shapenetpart import (
+    SEG_CLASSES,
+    random_scale_point_cloud,
+    shift_point_cloud,
+)
+from si_mamba_tpu.models.segmentation import PartSegConfig, PartSegModel, nll_loss
+from si_mamba_tpu.train import checkpoint as ckpt
+from si_mamba_tpu.train.logging_utils import AverageMeter, ScalarWriter, print_log
+from si_mamba_tpu.train.optim import build_optimizer
+from si_mamba_tpu.train.train_state import TrainState
+
+
+def make_seg_train_step(model: PartSegModel, num_categories: int = 16):
+    def step(state: TrainState, pts, cls, seg, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        k_drop, k_order = jax.random.split(rng)
+        onehot = jax.nn.one_hot(cls, num_categories)
+
+        def loss_fn(params):
+            logp, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, onehot, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop, "order": k_order})
+            loss = nll_loss(logp, seg)
+            acc = jnp.mean((jnp.argmax(logp, -1) == seg).astype(jnp.float32))
+            return loss, (updates["batch_stats"], acc)
+
+        (loss, (bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=bs)
+        return state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_seg_eval_step(model: PartSegModel, num_categories: int = 16):
+    def step(state: TrainState, pts, cls):
+        onehot = jax.nn.one_hot(cls, num_categories)
+        return model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           pts, onehot, train=False,
+                           rngs={"order": jax.random.key(0)})
+
+    return step
+
+
+def masked_category_argmax(logp: np.ndarray, cls: np.ndarray,
+                           label_names: list[str]) -> np.ndarray:
+    """Restrict per-point argmax to the parts of each sample's category
+    (reference eval :286-296)."""
+    preds = np.zeros(logp.shape[:2], np.int32)
+    for b in range(logp.shape[0]):
+        parts = SEG_CLASSES[label_names[int(cls[b])]]
+        sub = logp[b][:, parts]
+        preds[b] = np.asarray(parts)[sub.argmax(-1)]
+    return preds
+
+
+def evaluate_miou(eval_step, state, loader) -> dict:
+    """Instance/class mIoU + accuracy accounting (reference :269-334)."""
+    label_names = list(SEG_CLASSES.keys())
+    cat_order = {name: i for i, name in enumerate(label_names)}
+    shape_ious: dict[str, list[float]] = {name: [] for name in SEG_CLASSES}
+    correct = total = 0
+
+    for pts, cls_idx, seg in loader.epoch(0):
+        logp = np.asarray(eval_step(state, jnp.asarray(pts), jnp.asarray(cls_idx)))
+        # cls_idx indexes the dataset's category order; map via sorted offsets
+        names = [label_names[i] if i < len(label_names) else label_names[0]
+                 for i in cls_idx]
+        # dataset categories are indexed by synsetoffset2category order; the
+        # caller must pass cls indices consistent with SEG_CLASSES part table
+        preds = masked_category_argmax(logp, cls_idx, label_names)
+        correct += int((preds == seg).sum())
+        total += seg.size
+        for b in range(len(cls_idx)):
+            name = label_names[int(cls_idx[b])]
+            parts = SEG_CLASSES[name]
+            ious = []
+            for p in parts:
+                gt_p = seg[b] == p
+                pr_p = preds[b] == p
+                union = np.logical_or(gt_p, pr_p).sum()
+                inter = np.logical_and(gt_p, pr_p).sum()
+                ious.append(1.0 if union == 0 else inter / union)
+            shape_ious[name].append(float(np.mean(ious)))
+
+    all_ious = [v for vs in shape_ious.values() for v in vs]
+    cat_ious = {k: float(np.mean(v)) for k, v in shape_ious.items() if v}
+    return {
+        "accuracy": correct / max(total, 1),
+        "instance_miou": float(np.mean(all_ious)) if all_ious else 0.0,
+        "class_miou": float(np.mean(list(cat_ious.values()))) if cat_ious else 0.0,
+        "per_category": cat_ious,
+    }
+
+
+def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
+            epochs: int = 300, lr: float = 0.0002, weight_decay: float = 0.05,
+            warmup_epochs: int = 10, pretrained_variables=None, logger=None,
+            seed: int = 0):
+    model = PartSegModel(cfg)
+    rng_np = np.random.default_rng(seed)
+
+    dummy_pts = jnp.zeros((2, 2048, 3))
+    dummy_cls = jnp.zeros((2, cfg.num_categories))
+    variables = model.init({"params": jax.random.key(seed),
+                            "order": jax.random.key(1)},
+                           dummy_pts, dummy_cls, train=False)
+    if pretrained_variables is not None:
+        variables = ckpt.transfer_pretrained(variables, pretrained_variables, logger)
+
+    tx, sched = build_optimizer(variables["params"], lr=lr,
+                                weight_decay=weight_decay, epochs=epochs,
+                                warmup_epochs=warmup_epochs,
+                                steps_per_epoch=max(len(train_loader), 1),
+                                grad_clip=10.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    train_step = jax.jit(make_seg_train_step(model, cfg.num_categories),
+                         donate_argnums=(0,))
+    eval_step = jax.jit(make_seg_eval_step(model, cfg.num_categories))
+    writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
+    rng = jax.random.key(seed)
+
+    best = {"instance_miou": 0.0}
+    for epoch in range(epochs):
+        t0 = time.time()
+        meters = AverageMeter(["loss", "acc"])
+        for pts, cls_idx, seg in train_loader.epoch(epoch):
+            pts = shift_point_cloud(random_scale_point_cloud(pts, rng_np), rng_np)
+            state, m = train_step(state, jnp.asarray(pts), jnp.asarray(cls_idx),
+                                  jnp.asarray(seg), rng)
+            meters.update([float(m["loss"]), float(m["acc"])])
+        print_log(f"[Seg] EPOCH {epoch} time={time.time()-t0:.1f}s "
+                  f"loss={meters.avg(0):.4f} acc={meters.avg(1):.4f}", logger)
+        metrics = evaluate_miou(eval_step, state, test_loader)
+        writer.add_scalar("Seg/instance_miou", metrics["instance_miou"], epoch)
+        print_log(f"[Seg] EPOCH {epoch} inst mIoU={metrics['instance_miou']:.4f} "
+                  f"class mIoU={metrics['class_miou']:.4f} "
+                  f"acc={metrics['accuracy']:.4f}", logger)
+        if metrics["instance_miou"] > best["instance_miou"]:
+            best = metrics
+            ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch, metrics, best)
+        ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch, metrics, best)
+    writer.close()
+    return state, best
