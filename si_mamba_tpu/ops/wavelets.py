@@ -176,3 +176,92 @@ def scale_scores(coeffs: jax.Array, k: Optional[int] = None,
     else:
         raise ValueError(strategy)
     return score[..., jnp.asarray(ids)]
+
+
+# ---------------------------------------------------------------------------
+# Complex Meyer SGWT + graph scattering (reference models/point_mamba.py:
+# 1460-1576 ComplexMeyerSGWT, :2090-2128 GraphScattering) — experimental
+# traversal-score generators used in the pretrain ablations.
+# ---------------------------------------------------------------------------
+
+def _jackson_damping(K: int) -> jax.Array:
+    k = jnp.arange(K, dtype=jnp.float32)
+    gamma = ((K - k + 1) * jnp.cos(jnp.pi * k / (K + 1))
+             + jnp.sin(jnp.pi * k / (K + 1)) / jnp.tan(jnp.pi / (K + 1)))
+    return gamma / (K + 1)
+
+
+def complex_meyer_sgwt(x: jax.Array, L: jax.Array, J: int = 3, K: int = 30,
+                       lam_max: float = 2.0, use_complex: bool = True,
+                       use_delta: bool = False, jackson: bool = False) -> jax.Array:
+    """Analytic complex Meyer SGWT: (B, N, F), (B, N, N) -> complex
+    (B, N, F, C) with C = J (+1 with the delta band around lambda_1)."""
+    B, N, F = x.shape
+    I = jnp.eye(N, dtype=x.dtype)
+    Lhat = L - I
+
+    polys = [x, jnp.matmul(Lhat, x)]
+    for _ in range(2, K):
+        polys.append(2.0 * jnp.matmul(Lhat, polys[-1]) - polys[-2])
+    T = jnp.stack(polys, axis=0)  # (K, B, N, F)
+
+    k_vec = jnp.arange(K, dtype=x.dtype)
+    lam_k = (jnp.cos(jnp.pi * k_vec / K) + 1.0) * (lam_max / 2)
+    gamma = _jackson_damping(K) if jackson else None
+
+    bands = []
+    if use_delta:
+        eigvals = jnp.linalg.eigvalsh(tril_sym(L))
+        lam0, lam1 = eigvals[:, 0], eigvals[:, 1]
+        eps = jnp.maximum(jnp.maximum(0.05 * lam_max, (lam1 - lam0) * 0.5),
+                          lam_max / K)  # (B,)
+        diff = lam_k[None, :] - lam1[:, None]
+        inside = jnp.abs(diff) <= eps[:, None]
+        g_delta = jnp.where(inside, jnp.cos(0.5 * jnp.pi * diff / eps[:, None]), 0.0)
+        if gamma is not None:
+            g_delta = g_delta * gamma[None]
+        band = jnp.einsum("bk,kbnf->bnf", g_delta, T)
+        bands.append(band.astype(jnp.complex64) if use_complex else band)
+
+    for j in range(J):
+        lam1 = lam_max / (2 ** (j + 1))
+        lam2 = lam_max / (2 ** j)
+        nu = jnp.clip((lam_k - lam1) / (lam2 - lam1), 0.0, 1.0)
+        gk = jnp.sin(0.5 * jnp.pi * nu)
+        hk = jnp.cos(0.5 * jnp.pi * nu)
+        if gamma is not None:
+            gk, hk = gk * gamma, hk * gamma
+        real_j = jnp.einsum("k,kbnf->bnf", gk, T)
+        if use_complex:
+            imag_j = jnp.einsum("k,kbnf->bnf", hk, T)
+            bands.append(real_j + 1j * imag_j)
+        else:
+            bands.append(real_j)
+    return jnp.stack(bands, axis=-1)
+
+
+def tril_sym(M: jax.Array) -> jax.Array:
+    lower = jnp.tril(M)
+    return lower + jnp.swapaxes(jnp.tril(M, -1), -1, -2)
+
+
+def graph_scattering(x: jax.Array, L: jax.Array, sgwt_fn, level: int = 2,
+                     nonlin=jnp.abs) -> jax.Array:
+    """2nd-order graph scattering over an SGWT that returns (B, N, F, J+1)
+    with channel 0 = scaling (reference GraphScattering :2090-2128)."""
+    coeffs = sgwt_fn(x, L)  # (B, N, F, J+1)
+    S0 = coeffs[..., 0]
+    b1 = coeffs[..., 1:]
+    B, N, F, J = b1.shape
+    if level >= 1:
+        b1 = nonlin(b1)
+    outputs = [S0] + list(jnp.moveaxis(b1, -1, 0))
+    if level >= 2:
+        U1 = jnp.moveaxis(b1, -1, 1).reshape(B * J, N, F)
+        L_rep = jnp.repeat(L, J, axis=0)
+        coeffs2 = sgwt_fn(U1, L_rep)
+        b2 = nonlin(coeffs2.reshape(B, J, N, F, -1)[..., 1:])
+        for j in range(J):
+            for k in range(j + 1, J):
+                outputs.append(b2[:, j, :, :, k])
+    return jnp.stack(outputs, axis=-1)
