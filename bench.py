@@ -44,12 +44,16 @@ def main():
     state, m = step(state, pts, labels, key)
     jax.block_until_ready(m)
 
-    n_iter = 10
-    t0 = time.perf_counter()
+    # per-step sync: under the axon tunnel, block_until_ready on a chained
+    # async loop under-reports by orders of magnitude — sync every step.
+    n_iter = 5
+    lat = []
     for _ in range(n_iter):
+        t0 = time.perf_counter()
         state, m = step(state, pts, labels, key)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / n_iter
+        jax.block_until_ready(m)
+        lat.append(time.perf_counter() - t0)
+    dt = float(np.median(lat))
     clouds_per_sec = B / dt
 
     # spectral stage p50 (graph + batched eigh + top-k)
@@ -63,15 +67,16 @@ def main():
         lat.append(time.perf_counter() - t0)
     spectral_p50_ms = float(np.median(lat) * 1e3)
 
-    # eval forward throughput
+    # eval forward throughput (per-call sync)
     fwd = jax.jit(lambda v, p: model.apply(v, p, train=False))
     ev = {"params": state.params, "batch_stats": state.batch_stats}
     jax.block_until_ready(fwd(ev, pts))
-    t0 = time.perf_counter()
+    elat = []
     for _ in range(n_iter):
-        out = fwd(ev, pts)
-    jax.block_until_ready(out)
-    eval_dt = (time.perf_counter() - t0) / n_iter
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(ev, pts))
+        elat.append(time.perf_counter() - t0)
+    eval_dt = float(np.median(elat))
 
     print(json.dumps({
         "metric": "modelnet40_train_clouds_per_sec_per_chip",

@@ -274,7 +274,16 @@ class PointMAEMamba(nn.Module):
                            name="increase_dim")(x_masked)
         rebuild = rebuild.reshape(B * total_masked, cfg.group_size, 3)
 
-        loss_fn = chamfer_l2 if cfg.loss == "cdl2" else chamfer_l1
+        if cfg.loss == "cdl2":
+            loss_fn = chamfer_l2
+        elif cfg.loss == "cdl1":
+            loss_fn = chamfer_l1
+        elif cfg.loss == "emd":
+            from si_mamba_tpu.ops.emd import emd_sinkhorn
+
+            loss_fn = emd_sinkhorn
+        else:
+            raise NotImplementedError(cfg.loss)
         per = loss_fn(rebuild.astype(jnp.float32), gt.astype(jnp.float32),
                       batch_reduction=None)
         loss = jnp.mean(per)

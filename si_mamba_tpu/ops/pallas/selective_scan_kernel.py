@@ -1,24 +1,28 @@
-"""Fused Pallas TPU kernel for the Mamba selective scan.
+"""Fused Pallas TPU kernels for the Mamba selective scan (forward + backward).
 
 Replaces the HBM-bound XLA paths: the (B, L, d_inner, n) discretized tensors
 never hit HBM — each grid step keeps one (n, T, BD) chunk in VMEM, runs a
 Hillis-Steele inclusive scan over the chunk (log2 T vectorized steps),
 carries the (n, BD) state across chunks in scratch, and contracts the state
-against C in-register. Memory traffic drops from O(L·d·n) fp32 to the
-O(L·d) inputs/outputs.
+against C in-register.
 
-Design (see pallas guide):
+Forward design:
 - grid = (B, d_inner/BD, L/T); the chunk axis is innermost so TPU's
   sequential grid iteration threads the recurrence carry through VMEM
   scratch (reset at chunk 0 via @pl.when) — no dynamic slicing in-kernel;
 - lanes = d_inner block (BD), sublanes = time chunk (T); the small state
   dim n rides the leading axis of 3-D VMEM arrays;
 - B/C arrive pre-transposed (B, n, L) so chunk blocks are (n, T);
-- fp32 state regardless of activation dtype.
+- fp32 state regardless of activation dtype;
+- per-chunk entry states (B, nc, n, d) are emitted as a tiny side output —
+  the backward's recompute anchors.
 
-Training uses a custom VJP whose backward runs the chunked XLA
-implementation (rematerializes the forward); a dedicated backward kernel is
-the follow-up optimization.
+Backward (custom VJP) iterates chunks in REVERSE grid order, recomputes the
+in-chunk states from the saved entry state, runs the reverse recurrence
+  dh_t = gy_t C_t + a_{t+1} dh_{t+1}
+as a flipped Hillis-Steele scan, and emits dense grads for x/dt/z plus
+per-(batch, d-block, chunk) partials for A/B/C/D/dt_bias that a cheap XLA
+reduction finishes off.
 """
 
 from __future__ import annotations
@@ -30,17 +34,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from si_mamba_tpu.ops.selective_scan import selective_scan_chunked
 
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
 
-def _scan_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
-                 y_ref, h_ref, *, T: int):
+def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
+                y_ref, hent_ref, h_ref, *, T: int):
     n, BD = a_ref.shape
     c = pl.program_id(2)
 
     @pl.when(c == 0)
     def _():
         h_ref[:, :] = jnp.zeros((n, BD), jnp.float32)
+
+    # emit the chunk-entry state for the backward recompute
+    hent_ref[0, 0] = h_ref[:, :]
 
     A = a_ref[:, :][:, None, :]  # (n, 1, BD)
     dtb = dtb_ref[0, :]
@@ -73,35 +82,22 @@ def _scan_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
     y_c = jnp.sum(c_c[:, :, None] * hs, axis=0)  # (T, BD)
     y_c = y_c + Dp[None, :] * x_c
     z_c = z_ref[0].astype(jnp.float32)
-    y_c = y_c * (z_c * jax.nn.sigmoid(z_c))
-    y_ref[0] = y_c.astype(y_ref.dtype)
+    y_ref[0] = (y_c * (z_c * jax.nn.sigmoid(z_c))).astype(y_ref.dtype)
 
 
-def _pallas_scan_fwd_only(x, dt, Bmat, Cmat, z, A, D, dt_bias, *,
-                          block_d: int = 256, chunk: int = 128,
-                          interpret: bool = False):
-    """x, dt, z: (B, L, d); Bmat, Cmat: (B, L, n); A: (d, n); D, dt_bias: (d,).
-
-    Returns y (B, L, d). L must be a multiple of ``chunk``; d of block_d.
-    """
+def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
+                     chunk: int, interpret: bool):
     Bb, L, d = x.shape
-    n = A.shape[1]
-    assert d % block_d == 0, (d, block_d)
-    assert L % chunk == 0, (L, chunk)
+    n = At.shape[0]
     nchunks = L // chunk
     ndb = d // block_d
 
-    Bt = jnp.swapaxes(Bmat, 1, 2)  # (B, n, L)
-    Ct = jnp.swapaxes(Cmat, 1, 2)
-    At = jnp.swapaxes(A, 0, 1)  # (n, d)
+    kernel = functools.partial(_fwd_kernel, T=chunk)
+    grid = (Bb, ndb, nchunks)
+    ld = lambda i, j, c: (i, c, j)
+    ln = lambda i, j, c: (i, 0, c)
 
-    kernel = functools.partial(_scan_kernel, T=chunk)
-    grid = (Bb, ndb, nchunks)  # chunk axis innermost: sequential carry
-
-    ld = lambda i, j, c: (i, c, j)  # (1, T, BD) blocks of x/dt/z/y
-    ln = lambda i, j, c: (i, 0, c)  # (1, n, T) blocks of Bt/Ct
-
-    y = pl.pallas_call(
+    y, h_entries = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -114,50 +110,237 @@ def _pallas_scan_fwd_only(x, dt, Bmat, Cmat, z, A, D, dt_bias, *,
             pl.BlockSpec((1, block_d), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_d), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, block_d), ld, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
+        out_specs=(
+            pl.BlockSpec((1, chunk, block_d), ld, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, block_d), lambda i, j, c: (i, c, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
+            jax.ShapeDtypeStruct((Bb, nchunks, n, d), jnp.float32),
+        ),
         scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
         interpret=interpret,
     )(x, dt, Bt, Ct, z, At, D[None, :], dt_bias[None, :])
-    return y
+    return y, h_entries
 
 
-def _fwd_impl(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret):
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
+                g_ref, hent_ref,
+                dx_ref, ddt_ref, dz_ref, db_ref, dc_ref, da_ref, dd_ref,
+                ddtb_ref, dh_ref, *, T: int):
+    n, BD = a_ref.shape
+    c = pl.program_id(2)  # 0 == LAST time chunk (reversed index maps)
+
+    @pl.when(c == 0)
+    def _():
+        dh_ref[:, :] = jnp.zeros((n, BD), jnp.float32)
+
+    A = a_ref[:, :][:, None, :]  # (n, 1, BD)
+    dtb = dtb_ref[0, :]
+    Dp = d_ref[0, :]
+
+    x_c = x_ref[0].astype(jnp.float32)  # (T, BD)
+    dt_raw = dt_ref[0].astype(jnp.float32) + dtb[None, :]
+    delta = jax.nn.softplus(dt_raw)
+    b_c = bt_ref[0].astype(jnp.float32)  # (n, T)
+    c_c = ct_ref[0].astype(jnp.float32)  # (n, T)
+    z_c = z_ref[0].astype(jnp.float32)
+    g_c = g_ref[0].astype(jnp.float32)
+    h_in = hent_ref[0, 0]  # (n, BD) chunk entry state
+
+    # ---- recompute in-chunk states ------------------------------------
+    a = jnp.exp(delta[None, :, :] * A)
+    b = (delta * x_c)[None, :, :] * b_c[:, :, None]
+    acc_a, acc_b = a, b
+    k = 1
+    while k < T:
+        a_prev = jnp.concatenate(
+            [jnp.ones((n, k, BD), jnp.float32), acc_a[:, : T - k, :]], axis=1)
+        b_prev = jnp.concatenate(
+            [jnp.zeros((n, k, BD), jnp.float32), acc_b[:, : T - k, :]], axis=1)
+        acc_b = acc_b + acc_a * b_prev
+        acc_a = acc_a * a_prev
+        k *= 2
+    hs = acc_a * h_in[:, None, :] + acc_b  # (n, T, BD)
+    h_prev = jnp.concatenate([h_in[:, None, :], hs[:, : T - 1, :]], axis=1)
+
+    # ---- gate/output grads --------------------------------------------
+    sig = jax.nn.sigmoid(z_c)
+    silu = z_c * sig
+    y0 = jnp.sum(c_c[:, :, None] * hs, axis=0) + Dp[None, :] * x_c
+    dz_ref[0] = (g_c * y0 * (sig * (1.0 + z_c * (1.0 - sig)))).astype(dz_ref.dtype)
+    gy = g_c * silu  # (T, BD)
+
+    # ---- reverse recurrence: dh_t = gy_t C_t + a_{t+1} dh_{t+1} --------
+    q = c_c[:, :, None] * gy[None, :, :]  # (n, T, BD)
+    # shift a left: ashift[t] = a[t+1]; boundary uses ones and the carry
+    ashift = jnp.concatenate([a[:, 1:, :], jnp.ones((n, 1, BD), jnp.float32)],
+                             axis=1)
+    # add the cross-chunk carry to the last position (concat, not .at — jnp
+    # scatter lowers to unsupported dynamic_update_slice on TPU pallas)
+    q = jnp.concatenate(
+        [q[:, : T - 1, :], q[:, T - 1 : T, :] + dh_ref[:, :][:, None, :]], axis=1)
+    # right-to-left Hillis-Steele (Mosaic has no `rev`): shift toward the
+    # END with identity padding. dh_t = q_t + ashift_t·dh_{t+1}.
+    qf, af = q, ashift
+    k = 1
+    while k < T:
+        a_next = jnp.concatenate(
+            [af[:, k:, :], jnp.ones((n, k, BD), jnp.float32)], axis=1)
+        q_next = jnp.concatenate(
+            [qf[:, k:, :], jnp.zeros((n, k, BD), jnp.float32)], axis=1)
+        qf = qf + af * q_next
+        af = af * a_next
+        k *= 2
+    dh = qf  # (n, T, BD)
+    # carry for the next (earlier) chunk: a_0 * dh_0
+    dh_ref[:, :] = (a[:, 0:1, :] * dh[:, 0:1, :]).reshape(n, BD)
+
+    # ---- parameter/input grads ----------------------------------------
+    da = dh * h_prev  # (n, T, BD)
+    # ddelta = sum_n [da*a*A + dh*(x*B)]
+    ddelta = jnp.sum(da * a * A, axis=0) + jnp.sum(
+        dh * b_c[:, :, None], axis=0) * x_c
+    ddt_raw = ddelta * jax.nn.sigmoid(dt_raw)
+    ddt_ref[0] = ddt_raw.astype(ddt_ref.dtype)
+    dx = delta * jnp.sum(dh * b_c[:, :, None], axis=0) + gy * Dp[None, :]
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    db_ref[0, 0] = jnp.sum(dh * (delta * x_c)[None, :, :], axis=2)  # (n, T)
+    dc_ref[0, 0] = jnp.sum(hs * gy[None, :, :], axis=2)  # (n, T)
+    da_ref[0, 0] = jnp.sum(da * a * delta[None, :, :], axis=1)  # (n, BD)
+    dd_ref[0, 0] = jnp.sum(gy * x_c, axis=0)[None, :]  # (1, BD)
+    ddtb_ref[0, 0] = jnp.sum(ddt_raw, axis=0)[None, :]  # (1, BD)
+
+
+def _pallas_scan_bwd(x, dt, Bt, Ct, z, At, D, dt_bias, g, h_entries, *,
+                     block_d: int, chunk: int, interpret: bool):
+    Bb, L, d = x.shape
+    n = At.shape[0]
+    nchunks = L // chunk
+    ndb = d // block_d
+
+    kernel = functools.partial(_bwd_kernel, T=chunk)
+    grid = (Bb, ndb, nchunks)
+    # reversed chunk order: grid step c touches time chunk (nchunks-1-c)
+    rd = lambda i, j, c: (i, nchunks - 1 - c, j)
+    rn = lambda i, j, c: (i, 0, nchunks - 1 - c)
+    rpart_nT = lambda i, j, c: (i, j, 0, nchunks - 1 - c)  # (B, ndb, n, L)
+    rpart_nBD = lambda i, j, c: (i, nchunks - 1 - c, 0, j)  # (B, nc, n, d)
+    rpart_1BD = lambda i, j, c: (i, nchunks - 1 - c, 0, j)  # (B, nc, 1, d)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # dt
+            pl.BlockSpec((1, n, chunk), rn, memory_space=pltpu.VMEM),  # Bt
+            pl.BlockSpec((1, n, chunk), rn, memory_space=pltpu.VMEM),  # Ct
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # z
+            pl.BlockSpec((n, block_d), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_d), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # g
+            pl.BlockSpec((1, 1, n, block_d),
+                         lambda i, j, c: (i, nchunks - 1 - c, 0, j),
+                         memory_space=pltpu.VMEM),  # h_entries
+        ],
+        out_specs=(
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # dx
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # ddt
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # dz
+            pl.BlockSpec((1, 1, n, chunk), rpart_nT, memory_space=pltpu.VMEM),  # dB part
+            pl.BlockSpec((1, 1, n, chunk), rpart_nT, memory_space=pltpu.VMEM),  # dC part
+            pl.BlockSpec((1, 1, n, block_d), rpart_nBD, memory_space=pltpu.VMEM),  # dA part
+            pl.BlockSpec((1, 1, 1, block_d), rpart_1BD, memory_space=pltpu.VMEM),  # dD part
+            pl.BlockSpec((1, 1, 1, block_d), rpart_1BD, memory_space=pltpu.VMEM),  # ddtb part
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bb, L, d), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, L, d), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, L, d), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, ndb, n, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, ndb, n, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, nchunks, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, nchunks, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, nchunks, 1, d), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
+        interpret=interpret,
+    )(x, dt, Bt, Ct, z, At, D[None, :], dt_bias[None, :], g, h_entries)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# public api with custom VJP
+# ---------------------------------------------------------------------------
+
+def _prep_args(u, delta, B, C, z, chunk):
     Bb, L, d = u.shape
-    chunk = min(chunk, L)
+    # Mosaic requires the last block dim (the (n, chunk) B/C blocks) to be a
+    # multiple of 128 (or the full array dim) — force chunk to 128k and pad L.
+    chunk = max(128, (chunk // 128) * 128)
     Lp = -(-L // chunk) * chunk
     if Lp != L:
         pad = ((0, 0), (0, Lp - L), (0, 0))
-        u_p, dt_p, B_p, C_p, z_p = (jnp.pad(t, pad) for t in (u, delta, B, C, z))
-    else:
-        u_p, dt_p, B_p, C_p, z_p = u, delta, B, C, z
+        u, delta, B, C, z = (jnp.pad(t, pad) for t in (u, delta, B, C, z))
+    return u, delta, B, C, z, chunk, L
+
+
+def _block_d_for(d, block_d):
     bd = block_d
     while d % bd != 0:
         bd //= 2
-    y = _pallas_scan_fwd_only(u_p, dt_p, B_p, C_p, z_p, A, D, delta_bias,
-                              block_d=bd, chunk=chunk, interpret=interpret)
-    return y[:, :L]
+    return bd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
                            block_d=256, chunk=128, interpret=False):
-    return _fwd_impl(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret)
+    y, _ = _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret)
+    return y
 
 
 def _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret):
-    y = _fwd_impl(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret)
-    return y, (u, delta, A, B, C, D, z, delta_bias)
+    u_p, dt_p, B_p, C_p, z_p, chunk, L = _prep_args(u, delta, B, C, z, chunk)
+    bd = _block_d_for(u.shape[-1], block_d)
+    Bt = jnp.swapaxes(B_p, 1, 2)
+    Ct = jnp.swapaxes(C_p, 1, 2)
+    At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
+    y, h_entries = _pallas_scan_fwd(u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias,
+                                    block_d=bd, chunk=chunk, interpret=interpret)
+    res = (u, delta, A, B, C, D, z, delta_bias, h_entries)
+    return y[:, :L], res
 
 
 def _vjp_bwd(block_d, chunk, interpret, res, g):
-    u, delta, A, B, C, D, z, delta_bias = res
-    # Rematerialized backward through the chunked XLA implementation — exact
-    # same math as the kernel (fp32 state, softplus(dt + bias) inside).
-    _, vjp = jax.vjp(
-        lambda *args: selective_scan_chunked(*args, delta_softplus=True, chunk=chunk),
-        u, delta, A, B, C, D, z, delta_bias)
-    return vjp(g)
+    u, delta, A, B, C, D, z, delta_bias, h_entries = res
+    Bb, L, d = u.shape
+    u_p, dt_p, B_p, C_p, z_p, chunk_e, _ = _prep_args(u, delta, B, C, z, chunk)
+    g_p = jnp.pad(g.astype(jnp.float32),
+                  ((0, 0), (0, u_p.shape[1] - L), (0, 0))) \
+        if u_p.shape[1] != L else g.astype(jnp.float32)
+    bd = _block_d_for(d, block_d)
+    Bt = jnp.swapaxes(B_p, 1, 2)
+    Ct = jnp.swapaxes(C_p, 1, 2)
+    At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
+    (dx, ddt, dz, dBp, dCp, dAp, dDp, ddtbp) = _pallas_scan_bwd(
+        u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias, g_p, h_entries,
+        block_d=bd, chunk=chunk_e, interpret=interpret)
+    du = dx[:, :L].astype(u.dtype)
+    ddelta = ddt[:, :L].astype(delta.dtype)
+    dz_out = dz[:, :L].astype(z.dtype)
+    dB = jnp.swapaxes(jnp.sum(dBp, axis=1), 1, 2)[:, :L].astype(B.dtype)
+    dC = jnp.swapaxes(jnp.sum(dCp, axis=1), 1, 2)[:, :L].astype(C.dtype)
+    dA = jnp.swapaxes(jnp.sum(dAp, axis=(0, 1)), 0, 1).astype(A.dtype)
+    dD = jnp.sum(dDp, axis=(0, 1))[0].astype(D.dtype)
+    ddtb = jnp.sum(ddtbp, axis=(0, 1))[0].astype(delta_bias.dtype)
+    return du, ddelta, dA, dB, dC, dD, dz_out, ddtb
 
 
 _selective_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
@@ -166,9 +349,9 @@ _selective_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                           delta_softplus: bool = True, *, block_d: int = 256,
                           chunk: int = 128, interpret: bool = False):
-    """Drop-in for ``selective_scan`` with the fused Pallas forward.
+    """Drop-in for ``selective_scan`` with fused Pallas forward AND backward.
 
-    The fused kernel folds softplus(dt+bias), ZOH discretization, the scan,
+    The fused kernels fold softplus(dt+bias), ZOH discretization, the scan,
     the C-contraction, the D skip, and the silu(z) gate; callers must pass
     D, z, delta_bias (the Mamba mixer always does).
     """

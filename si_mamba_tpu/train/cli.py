@@ -111,6 +111,38 @@ def main(argv=None):
 
     model_name = config.model.NAME
     bs = int(config.total_bs)
+    if args.way > 0:  # few-shot: the classifier width equals the way count
+        config.model.cls_dim = args.way
+
+    if model_name == "PartSegModel":
+        import jax
+
+        from si_mamba_tpu.data.shapenetpart import PartNormalDataset, PartSegLoader
+        from si_mamba_tpu.models.segmentation import PartSegConfig
+        from si_mamba_tpu.train.runner_seg import seg_run
+
+        root = config.data_root
+        npts = int(config.npoints)
+        train_ds = PartNormalDataset(root, npoints=npts, split="trainval",
+                                     seed=args.seed)
+        test_ds = PartNormalDataset(root, npoints=npts, split="test",
+                                    seed=args.seed)
+        mk = lambda ds, sh: PartSegLoader(ds, bs, shuffle=sh, drop_last=sh,
+                                          seed=args.seed,
+                                          process_index=jax.process_index(),
+                                          process_count=jax.process_count())
+        seg_cfg = PartSegConfig(**{k: (tuple(v) if k == "fetch_idx" else v)
+                                   for k, v in config.model.items()
+                                   if k in PartSegConfig.__dataclass_fields__})
+        pretrained = (_load_pretrained(args.finetune_model)
+                      if args.finetune_model else None)
+        seg_run(seg_cfg, mk(train_ds, True), mk(test_ds, False),
+                args.experiment_path, epochs=int(config.max_epoch),
+                lr=float(config.optimizer.kwargs.lr),
+                weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
+                warmup_epochs=int(config.scheduler.kwargs.initial_epochs),
+                pretrained_variables=pretrained, logger=logger, seed=args.seed)
+        return
 
     if model_name == "Point_MAE_Mamba":
         from si_mamba_tpu.train.runner_pretrain import pretrain_run

@@ -31,3 +31,16 @@ def test_chamfer_zero_for_identical():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, 16, 3)).astype(np.float32)
     assert float(chamfer_l2(x, x)) < 1e-10
+
+
+def test_emd_sinkhorn():
+    from si_mamba_tpu.ops.emd import emd_sinkhorn
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 16, 3)).astype(np.float32)
+    # identical clouds -> near-zero EMD; shifted clouds -> larger
+    near = float(emd_sinkhorn(x, x + 1e-4))
+    far = float(emd_sinkhorn(x, x + 1.0))
+    assert near < 0.05 and far > near * 10
+    per = emd_sinkhorn(x, x, batch_reduction=None)
+    assert per.shape == (2,)
