@@ -4,6 +4,12 @@ Primary metric: ModelNet40-config training throughput, clouds/sec/chip
 (forward + backward + AdamW on B=32, N=1024, SAST, 12 layers, d=384 — the
 reference logs ≈140 clouds/s on its GPU, BASELINE.md). Also reports the
 spectral (graph+eigh+orders) p50 latency and eval-forward throughput.
+
+Measurement notes (this harness environment): the axon relay adds ~28 ms of
+round-trip latency to EVERY dispatched program, and ``block_until_ready``
+can return before remote execution finishes. Device time is therefore
+measured AMORTIZED — K steps chained inside one jitted ``lax.scan`` — with a
+host readback as the fence.
 """
 
 from __future__ import annotations
@@ -14,11 +20,13 @@ import time
 import numpy as np
 
 BASELINE_CLOUDS_PER_SEC = 140.0  # reference logs/finetuned_modelnet40.log
+K_STEPS = 10
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from si_mamba_tpu.models import PointMamba, PointMambaConfig
     from si_mamba_tpu.models.point_mamba import spectral_eigvecs
@@ -37,45 +45,71 @@ def main():
     tx, _ = build_optimizer(variables["params"], lr=3e-4, epochs=300,
                             warmup_epochs=10, steps_per_epoch=300)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
-    step = jax.jit(make_classifier_train_step(model), donate_argnums=(0,))
+    step_fn = make_classifier_train_step(model)
 
-    # warmup/compile
+    @jax.jit
+    def multi_step(state, pts, labels, key):
+        def body(st, _):
+            st, m = step_fn(st, pts, labels, key)
+            return st, m["loss"]
+
+        state, losses = lax.scan(body, state, jnp.arange(K_STEPS))
+        return state, losses
+
     key = jax.random.key(1)
-    state, m = step(state, pts, labels, key)
-    jax.block_until_ready(m)
+    state, losses = multi_step(state, pts, labels, key)
+    np.asarray(losses)  # compile + full sync (host readback)
 
-    # per-step sync: under the axon tunnel, block_until_ready on a chained
-    # async loop under-reports by orders of magnitude — sync every step.
-    n_iter = 5
     lat = []
-    for _ in range(n_iter):
+    for _ in range(3):
         t0 = time.perf_counter()
-        state, m = step(state, pts, labels, key)
-        jax.block_until_ready(m)
-        lat.append(time.perf_counter() - t0)
+        state, losses = multi_step(state, pts, labels, key)
+        np.asarray(losses)
+        _ = float(jnp.sum(jax.tree.leaves(state.params)[0]))
+        lat.append((time.perf_counter() - t0) / K_STEPS)
     dt = float(np.median(lat))
     clouds_per_sec = B / dt
 
-    # spectral stage p50 (graph + batched eigh + top-k)
-    spec = jax.jit(lambda c: spectral_eigvecs(c, cfg))
+    # spectral stage p50 (graph + batched eigh + top-k), amortized
     centers = gather_points(pts, fps(pts, cfg.num_group))
-    jax.block_until_ready(spec(centers))
-    lat = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        jax.block_until_ready(spec(centers))
-        lat.append(time.perf_counter() - t0)
-    spectral_p50_ms = float(np.median(lat) * 1e3)
 
-    # eval forward throughput (per-call sync)
-    fwd = jax.jit(lambda v, p: model.apply(v, p, train=False))
-    ev = {"params": state.params, "batch_stats": state.batch_stats}
-    jax.block_until_ready(fwd(ev, pts))
-    elat = []
-    for _ in range(n_iter):
+    @jax.jit
+    def multi_spec(c):
+        def body(acc, _):
+            # acc*1e-30 keeps a real loop-carried data dependency so XLA
+            # cannot hoist the body out of the scan (acc*0 would fold away)
+            _, vecs = spectral_eigvecs(c + acc * 1e-30, cfg)
+            return jnp.sum(vecs), jnp.sum(vecs)
+
+        acc, outs = lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))
+        return outs
+
+    np.asarray(multi_spec(centers))
+    slat = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(ev, pts))
-        elat.append(time.perf_counter() - t0)
+        np.asarray(multi_spec(centers))
+        slat.append((time.perf_counter() - t0) / K_STEPS)
+    spectral_p50_ms = float(np.median(slat) * 1e3)
+
+    # eval forward throughput, amortized
+    ev = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def multi_eval(v, p):
+        def body(acc, _):
+            logits = model.apply(v, p + acc * 1e-30, train=False)
+            return jnp.sum(logits), jnp.sum(logits)
+
+        _, outs = lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))
+        return outs
+
+    np.asarray(multi_eval(ev, pts))
+    elat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(multi_eval(ev, pts))
+        elat.append((time.perf_counter() - t0) / K_STEPS)
     eval_dt = float(np.median(elat))
 
     print(json.dumps({
@@ -89,6 +123,7 @@ def main():
             "spectral_p50_ms": round(spectral_p50_ms, 3),
             "batch": B,
             "scan_impl": cfg.scan_impl,
+            "amortized_over": K_STEPS,
         },
     }))
 

@@ -172,3 +172,15 @@ def test_cross_entropy_loss_acc():
     loss, acc = cross_entropy_loss_acc(logits, labels)
     assert loss.shape == (2,)
     assert float(acc) == 50.0
+
+
+def test_point_mamba_bf16_forward(pts):
+    """bf16 activations (reference pretrain autocast parity): forward must be
+    finite with fp32 scan state under the hood."""
+    cfg = dataclasses.replace(TINY, dtype="bfloat16")
+    model = PointMamba(cfg)
+    variables = model.init(jax.random.key(0), pts, train=False)
+    logits = model.apply(variables, pts, train=False)
+    # head Dense layers promote back to fp32 (params are fp32) — the mixers
+    # and encoder ran in bf16; just require finite, sane outputs
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
