@@ -289,5 +289,8 @@ class PointMAEMamba(nn.Module):
         loss = jnp.mean(per)
 
         if vis:
-            return loss, rebuild.reshape(B, total_masked, cfg.group_size, 3)
+            return loss, {
+                "rebuild": rebuild.reshape(B, total_masked, cfg.group_size, 3),
+                "gt": gt.reshape(B, total_masked, cfg.group_size, 3),
+            }
         return loss

@@ -56,6 +56,7 @@ class PointMambaConfig:
     add_after_layer: bool = False
     # compute
     scan_impl: str = "auto"
+    spectral_method: str = "eigh"  # eigh (exact) | subspace (MXU-only approx)
     dtype: str = "float32"
 
     @property
@@ -80,7 +81,13 @@ def spectral_eigvecs(center: jax.Array, cfg: PointMambaConfig) -> tuple[jax.Arra
     )
     if cfg.matrix == "laplacian":
         L = rw_laplacian(A, eps=1e-6, eps_mode="add")
-        vals, vecs, _, _ = topk_eigh(L, cfg.k_top_eigenvectors, smallest=cfg.smallest)
+        if getattr(cfg, "spectral_method", "eigh") == "subspace" and cfg.smallest:
+            from si_mamba_tpu.ops.spectral import topk_smallest_subspace
+
+            vals, vecs = topk_smallest_subspace(L, cfg.k_top_eigenvectors)
+        else:
+            vals, vecs, _, _ = topk_eigh(L, cfg.k_top_eigenvectors,
+                                         smallest=cfg.smallest)
     else:
         # symmetric variant computes k+1 and drops the first (reference :764-814)
         L = sym_laplacian(A)

@@ -3,6 +3,7 @@ oracle that replicates the reference's scatter-based construction and
 torch.linalg.eigh lower-triangle semantics (reference models/point_mamba.py:
 620-761)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -125,3 +126,31 @@ def test_multilevel_codes():
     powers = 2 ** torch.arange(3, -1, -1)
     ref = (bits * powers[None, None, :]).sum(-1)
     np.testing.assert_allclose(codes, ref.numpy())
+
+
+def test_subspace_matches_eigh(centers):
+    from si_mamba_tpu.ops.spectral import topk_smallest_subspace
+
+    A = knn_adjacency(centers, k=5, symmetric=True, binary=True)
+    L = rw_laplacian(A)
+    vals_e, vecs_e, _, _ = topk_eigh(L, 4, smallest=True)
+    vals_s, vecs_s = topk_smallest_subspace(L, 4, iters=60)
+    np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals_e), atol=5e-3)
+    align = np.abs(np.einsum("bnk,bnk->bk", np.asarray(vecs_e), np.asarray(vecs_s)))
+    assert align.min() > 0.99, align
+
+
+def test_point_mamba_subspace_method():
+    import dataclasses
+
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+
+    cfg = PointMambaConfig(trans_dim=32, depth=2, cls_dim=4, group_size=8,
+                           num_group=16, encoder_dims=32, knn_graph=4,
+                           spectral_method="subspace")
+    model = PointMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.key(0), pts, train=False)
+    logits = model.apply(v, pts, train=False)
+    assert bool(jnp.all(jnp.isfinite(logits)))

@@ -102,3 +102,24 @@ def test_point_mae_jit():
     l1 = f(v, pts)
     l2 = f(v, pts)
     np.testing.assert_allclose(float(l1), float(l2))
+
+
+def test_point_mae_vis_output(tmp_path):
+    model, v, pts = _variables_and_pts()
+    loss, rec = model.apply(v, pts, train=False, vis=True,
+                            rngs={"mask": jax.random.key(1)})
+    # 2 * K * n_mask masked groups of group_size points
+    assert rec["rebuild"].shape == rec["gt"].shape
+    assert rec["rebuild"].shape[0] == 2 and rec["rebuild"].shape[-2:] == (8, 3)
+
+    from si_mamba_tpu.train.runner_vis import vis_run
+
+    class L:
+        def epoch(self, _):
+            yield np.asarray(pts), np.zeros(2, np.int32)
+
+    tags = vis_run(TINY, v, L(), str(tmp_path), max_samples=2)
+    assert len(tags) == 2
+    import os
+
+    assert os.path.exists(tmp_path / "sample_0000_full.jpg")
