@@ -325,7 +325,9 @@ def _vjp_bwd(block_d, chunk, interpret, res, g):
     g_p = jnp.pad(g.astype(jnp.float32),
                   ((0, 0), (0, u_p.shape[1] - L), (0, 0))) \
         if u_p.shape[1] != L else g.astype(jnp.float32)
-    bd = _block_d_for(d, block_d)
+    # the backward keeps ~8 live (n, T, BD) fp32 arrays — halve BD vs the
+    # forward so they fit VMEM without spilling
+    bd = _block_d_for(d, max(128, block_d // 2))
     Bt = jnp.swapaxes(B_p, 1, 2)
     Ct = jnp.swapaxes(C_p, 1, 2)
     At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)

@@ -177,11 +177,13 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
         writer.add_scalar("Metric/ACC", acc, epoch)
         print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}", logger)
         metrics = AccMetric(acc)
-        if metrics.better_than(best_metrics):
+        better = metrics.better_than(best_metrics)
+        if better:
             best_metrics = metrics
             ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch,
                                  metrics.state_dict(), best_metrics.state_dict())
-        if vote and (acc > 92.1 or (metrics.better_than(best_metrics) and acc > 91)):
+        # vote thresholds from reference runner_finetune.py:278-288
+        if vote and (acc > 92.1 or (better and acc > 91)):
             vacc = validate_vote(vote_step, state, val_loader)
             writer.add_scalar("Metric/ACC_vote", vacc, epoch)
             if AccMetric(vacc).better_than(best_vote):

@@ -53,37 +53,36 @@ def make_seg_eval_step(model: PartSegModel, num_categories: int = 16):
     return step
 
 
-def masked_category_argmax(logp: np.ndarray, cls: np.ndarray,
-                           label_names: list[str]) -> np.ndarray:
+SEG_LABEL_TO_CAT = {label: name for name, labels in SEG_CLASSES.items()
+                    for label in labels}
+
+
+def masked_category_argmax(logp: np.ndarray, cat_names: list[str]) -> np.ndarray:
     """Restrict per-point argmax to the parts of each sample's category
     (reference eval :286-296)."""
     preds = np.zeros(logp.shape[:2], np.int32)
     for b in range(logp.shape[0]):
-        parts = SEG_CLASSES[label_names[int(cls[b])]]
+        parts = SEG_CLASSES[cat_names[b]]
         sub = logp[b][:, parts]
         preds[b] = np.asarray(parts)[sub.argmax(-1)]
     return preds
 
 
 def evaluate_miou(eval_step, state, loader) -> dict:
-    """Instance/class mIoU + accuracy accounting (reference :269-334)."""
-    label_names = list(SEG_CLASSES.keys())
-    cat_order = {name: i for i, name in enumerate(label_names)}
+    """Instance/class mIoU + accuracy accounting (reference :269-334). The
+    sample's category comes from its GT seg labels (reference
+    ``seg_label_to_cat``) — robust to dataset category-index ordering."""
     shape_ious: dict[str, list[float]] = {name: [] for name in SEG_CLASSES}
     correct = total = 0
 
     for pts, cls_idx, seg in loader.epoch(0):
         logp = np.asarray(eval_step(state, jnp.asarray(pts), jnp.asarray(cls_idx)))
-        # cls_idx indexes the dataset's category order; map via sorted offsets
-        names = [label_names[i] if i < len(label_names) else label_names[0]
-                 for i in cls_idx]
-        # dataset categories are indexed by synsetoffset2category order; the
-        # caller must pass cls indices consistent with SEG_CLASSES part table
-        preds = masked_category_argmax(logp, cls_idx, label_names)
+        cat_names = [SEG_LABEL_TO_CAT[int(seg[b, 0])] for b in range(seg.shape[0])]
+        preds = masked_category_argmax(logp, cat_names)
         correct += int((preds == seg).sum())
         total += seg.size
         for b in range(len(cls_idx)):
-            name = label_names[int(cls_idx[b])]
+            name = cat_names[b]
             parts = SEG_CLASSES[name]
             ious = []
             for p in parts:
