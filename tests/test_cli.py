@@ -1,0 +1,50 @@
+"""CLI surface tests: arg parsing, dataset-config mapping, experiment dirs."""
+
+import os
+
+import pytest
+
+from si_mamba_tpu.train.cli import _dataset_kwargs, get_args
+from si_mamba_tpu.train.config import ConfigDict, _to_config
+
+
+def test_get_args_defaults(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    args = get_args(["--config", "cfgs/finetune_modelnet.yaml"])
+    assert args.experiment_path.endswith(os.path.join("finetune_modelnet", "default"))
+    assert os.path.isdir(args.experiment_path)
+    assert args.way == -1 and not args.test
+
+
+def test_get_args_test_resume_exclusive(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError):
+        get_args(["--config", "x.yaml", "--test", "--resume"])
+
+
+def _dcfg(d):
+    return _to_config(ConfigDict(d))
+
+
+def test_dataset_kwargs_mapping():
+    args = type("A", (), {"way": 5, "shot": 10, "fold": 2})()
+    name, kw = _dataset_kwargs(_dcfg({
+        "_base_": {"NAME": "ShapeNet", "DATA_PATH": "dp", "PC_PATH": "pc",
+                   "N_POINTS": 1024},
+        "others": {"subset": "train", "npoints": 1024, "whole": True}}), args, "train")
+    assert name == "ShapeNet" and kw["whole"] is True and kw["pc_path"] == "pc"
+
+    name, kw = _dataset_kwargs(_dcfg({
+        "_base_": {"NAME": "ScanObjectNN_hardest", "ROOT": "r"},
+        "others": {"subset": "test"}}), args, "test")
+    assert name == "ScanObjectNN_hardest" and kw == {"root": "r", "subset": "test"}
+
+    name, kw = _dataset_kwargs(_dcfg({
+        "_base_": {"NAME": "ModelNetFewShot", "DATA_PATH": "fs"},
+        "others": {"subset": "train"}}), args, "train")
+    assert kw["way"] == 5 and kw["shot"] == 10 and kw["fold"] == 2
+
+    name, kw = _dataset_kwargs(_dcfg({
+        "_base_": {"NAME": "ModelNet40SVM", "DATA_PATH": "d"},
+        "others": {"partition": "train", "num_points": 2048}}), args, "train")
+    assert kw["partition"] == "train" and kw["num_points"] == 2048
