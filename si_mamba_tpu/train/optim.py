@@ -51,7 +51,8 @@ def build_optimizer(params: Any, *, opt_type: str = "AdamW", lr: float = 3e-4,
                     weight_decay: float = 0.05, epochs: int = 300,
                     warmup_epochs: int = 10, steps_per_epoch: int = 1,
                     grad_clip: float | None = 10.0,
-                    sched_type: str = "CosLR") -> tuple[optax.GradientTransformation, Any]:
+                    sched_type: str = "CosLR",
+                    step_per_update: int = 1) -> tuple[optax.GradientTransformation, Any]:
     """Returns (tx, schedule). ``params`` is used only to build the wd mask."""
     if sched_type == "CosLR":
         schedule = cosine_warmup_epoch_schedule(lr, epochs, warmup_epochs, steps_per_epoch)
@@ -78,4 +79,8 @@ def build_optimizer(params: Any, *, opt_type: str = "AdamW", lr: float = 3e-4,
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
     else:
         tx = opt
+    if step_per_update > 1:
+        # gradient accumulation (reference config ``step_per_update``,
+        # tools/runner_finetune.py:222-228)
+        tx = optax.MultiSteps(tx, every_k_schedule=step_per_update)
     return tx, schedule

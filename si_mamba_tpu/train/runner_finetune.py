@@ -91,13 +91,24 @@ def make_vote_step(model: PointMamba, npoints: int, rotation: bool):
     return step
 
 
+def _global_sum(x: np.ndarray) -> np.ndarray:
+    """Sum across hosts (the reference's reduce_tensor/gather_tensor for val,
+    utils/dist_utils.py:41-54). No-op single-host."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(jnp.asarray(x))).sum(0)
+
+
 def validate(eval_step, state, loader, epoch: int = 0) -> float:
     correct = total = 0
     for pts, labels in loader.epoch(0):
         logits = np.asarray(eval_step(state, jnp.asarray(pts)))
         correct += int((logits.argmax(-1) == labels).sum())
         total += len(labels)
-    return 100.0 * correct / max(total, 1)
+    counts = _global_sum(np.asarray([correct, total]))
+    return 100.0 * counts[0] / max(counts[1], 1)
 
 
 def validate_vote(vote_step, state, loader, times: int = 10, seed: int = 0) -> float:
@@ -142,7 +153,8 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
         warmup_epochs=int(config.scheduler.kwargs.initial_epochs),
         steps_per_epoch=steps_per_epoch,
         grad_clip=float(config.get("grad_norm_clip", 0) or 0) or None,
-        sched_type=config.scheduler.type)
+        sched_type=config.scheduler.type,
+        step_per_update=int(config.get("step_per_update", 1) or 1))
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
     start_epoch, best = 0, {}

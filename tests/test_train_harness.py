@@ -151,3 +151,49 @@ def test_tau_schedule():
     assert tau_schedule(20) == pytest.approx(1.0)
     assert tau_schedule(300) == pytest.approx(0.01)
     assert tau_schedule(10) == pytest.approx(0.01 + 0.99 * 0.5)
+
+
+def test_step_per_update_accumulation():
+    """optax.MultiSteps: params change only every k-th step."""
+    from si_mamba_tpu.train.optim import build_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    tx, _ = build_optimizer(params, lr=0.1, epochs=1, warmup_epochs=0,
+                            steps_per_epoch=1, sched_type="const",
+                            grad_clip=None, step_per_update=2)
+    state = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    up1, state = tx.update(g, state, params)
+    p1 = jax.tree.map(lambda p, u: p + u, params, up1)
+    np.testing.assert_allclose(np.asarray(p1["w"]), 1.0)  # accumulated, no step
+    up2, state = tx.update(g, state, p1)
+    p2 = jax.tree.map(lambda p, u: p + u, p1, up2)
+    assert float(jnp.abs(p2["w"] - 1.0).max()) > 1e-3  # applied on 2nd
+
+
+def test_mae_train_step_on_mesh():
+    """Pretrain step under the 8-device DP mesh."""
+    from si_mamba_tpu.models import PointMAEMamba, PointMAEConfig
+    from si_mamba_tpu.parallel import make_mesh, shard_batch
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.runner_pretrain import make_pretrain_step
+    from si_mamba_tpu.train.train_state import TrainState
+
+    cfg = PointMAEConfig(trans_dim=32, encoder_dims=32, depth=2, decoder_depth=1,
+                         group_size=8, num_group=16, knn_graph=4,
+                         sinkhorn_iters=5)
+    model = PointMAEMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((8, 64, 3)).astype(np.float32))
+    v = model.init({"params": jax.random.key(0), "mask": jax.random.key(1),
+                    "gumbel": jax.random.key(2)}, pts[:2], train=False)
+    tx, _ = build_optimizer(v["params"], lr=1e-3, epochs=1, warmup_epochs=0,
+                            steps_per_epoch=1)
+    state = TrainState.create(v["params"], v["batch_stats"], tx)
+    mesh = make_mesh(jax.devices()[:8])
+    step = jax.jit(make_pretrain_step(model), donate_argnums=(0,))
+    (pts_s,) = shard_batch((pts,), mesh)
+    state, m = step(state, pts_s, jax.random.key(3), 0.5)
+    assert np.isfinite(float(m["loss"]))
+    state, m2 = step(state, pts_s, jax.random.key(3), 0.5)
+    assert float(m2["loss"]) != float(m["loss"])
