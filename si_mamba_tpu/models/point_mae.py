@@ -144,6 +144,9 @@ class PointMAEMamba(nn.Module):
         center = grouped.center.astype(jnp.float32)
         neighborhood = grouped.neighborhood.astype(dtype)
 
+        if cfg.method == "MAMBA":
+            return self._legacy_mae(cfg, dtype, grouped, train, noaug, vis)
+
         # ---- traversal orders from diffusion wavelets + sinkhorn ----------
         A = knn_adjacency(center, k=cfg.knn_graph, alpha=cfg.alpha,
                           symmetric=cfg.symmetric, self_loop=cfg.self_loop,
@@ -294,3 +297,79 @@ class PointMAEMamba(nn.Module):
                 "gt": gt.reshape(B, total_masked, cfg.group_size, 3),
             }
         return loss
+
+
+def _append_legacy(cls):
+    """Attach the legacy 'MAMBA' MAE path (reference MaskMamba :1186-1301 +
+    MambaDecoder :2805-2834 + Point_MAE_Mamba MAMBA branch :3057-3093):
+    plain rand/block masking, visible tokens in original order, decoder over
+    [visible, mask tokens] with decoder-side pos embeddings, reconstruction
+    of the last n_mask tokens."""
+
+    def _legacy_mae(self, cfg, dtype, grouped, train, noaug, vis):
+        B = grouped.center.shape[0]
+        G, n_mask, n_vis = cfg.num_group, cfg.num_mask, cfg.num_vis
+        center = grouped.center.astype(dtype)
+        neighborhood = grouped.neighborhood.astype(dtype)
+
+        if noaug or cfg.mask_ratio == 0:
+            mask = jnp.zeros((B, G))
+            n_vis_eff, n_mask_eff = G, 0
+        elif cfg.mask_type == "rand":
+            mask = random_mask(self.make_rng("mask") if self.has_rng("mask")
+                               else jax.random.key(0), B, G, n_mask)
+            n_vis_eff, n_mask_eff = n_vis, n_mask
+        else:
+            mask = block_mask(self.make_rng("mask") if self.has_rng("mask")
+                              else jax.random.key(0), center, n_mask)
+            n_vis_eff, n_mask_eff = n_vis, n_mask
+
+        tokens = PatchEncoder(cfg.encoder_dims, dtype=dtype, name="encoder")(
+            neighborhood, train=train)
+        C = cfg.trans_dim
+        x_vis = select_by_rank(tokens, mask, n_vis_eff, masked=False)
+        center_vis = select_by_rank(center, mask, n_vis_eff, masked=False)
+        pos_vis = PosEmbedMLP(C, dtype=dtype, name="pos_embed")(center_vis)
+
+        x_vis = MixerModel(C, cfg.depth, rms_norm=cfg.rms_norm,
+                           drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
+                           dtype=dtype, name="blocks")(
+            x_vis, pos_vis, deterministic=not train)
+        x_vis = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x_vis)
+        if noaug:
+            return x_vis
+
+        dec_pos_embed = PosEmbedMLP(C, dtype=dtype, name="decoder_pos_embed")
+        center_mask = select_by_rank(center, mask, n_mask_eff, masked=True)
+        pos_full = jnp.concatenate(
+            [dec_pos_embed(center_vis), dec_pos_embed(center_mask)], axis=1)
+
+        mask_token = self.param("mask_token", trunc_normal_init(), (1, 1, C))
+        x_full = jnp.concatenate(
+            [x_vis, jnp.broadcast_to(mask_token, (B, n_mask_eff, C)).astype(dtype)],
+            axis=1)
+        x_rec = MixerModel(C, cfg.decoder_depth, rms_norm=cfg.rms_norm,
+                           drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
+                           dtype=dtype, name="MAE_decoder")(
+            x_full, pos_full, deterministic=not train)
+        x_rec = nn.LayerNorm(epsilon=1e-5, name="decoder_norm", dtype=dtype)(
+            x_rec[:, -n_mask_eff:])
+
+        rebuild = nn.Dense(3 * cfg.group_size, kernel_init=trunc_normal_init(),
+                           name="increase_dim")(x_rec)
+        rebuild = rebuild.reshape(B * n_mask_eff, cfg.group_size, 3)
+        gt = select_by_rank(neighborhood.reshape(B, G, -1), mask, n_mask_eff,
+                            masked=True)
+        gt = gt.reshape(B * n_mask_eff, cfg.group_size, 3)
+        loss_fn = chamfer_l2 if cfg.loss == "cdl2" else chamfer_l1
+        loss = loss_fn(rebuild.astype(jnp.float32), gt.astype(jnp.float32))
+        if vis:
+            return loss, {"rebuild": rebuild.reshape(B, n_mask_eff, cfg.group_size, 3),
+                          "gt": gt.reshape(B, n_mask_eff, cfg.group_size, 3)}
+        return loss
+
+    cls._legacy_mae = _legacy_mae
+    return cls
+
+
+_append_legacy(PointMAEMamba)

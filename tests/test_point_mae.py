@@ -123,3 +123,28 @@ def test_point_mae_vis_output(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "sample_0000_full.jpg")
+
+
+def test_point_mae_legacy_mamba_method():
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, method="MAMBA")
+    model = PointMAEMamba(cfg)
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    v = model.init({"params": jax.random.key(0), "mask": jax.random.key(1)},
+                   pts, train=False)
+    loss = model.apply(v, pts, train=False, rngs={"mask": jax.random.key(1)})
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    feats = model.apply(v, pts, train=False, noaug=True)
+    assert feats.shape == (2, 16, 32)  # all G tokens visible
+
+    def loss_fn(params):
+        loss, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            pts, train=True, mutable=["batch_stats"],
+            rngs={"mask": jax.random.key(2), "dropout": jax.random.key(3)})
+        return loss
+
+    g = jax.grad(loss_fn)(v["params"])
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
