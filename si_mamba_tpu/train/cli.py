@@ -87,6 +87,22 @@ def build_loader(dcfg, args, subset: str, batch_size: int, shuffle: bool,
                   process_count=jax.process_count())
 
 
+def _archive_source(exp_dir: str) -> None:
+    """Snapshot the package source into the experiment dir (reference
+    ``archive_project_files_tar``, main.py:17-31)."""
+    import tarfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(exp_dir, "source_snapshot.tar.gz")
+    try:
+        with tarfile.open(out, "w:gz") as tar:
+            tar.add(pkg_root, arcname="si_mamba_tpu",
+                    filter=lambda ti: None if ti.name.endswith((".so", ".pyc"))
+                    else ti)
+    except OSError:
+        pass
+
+
 def _load_pretrained(path: str):
     """Accept either a torch .pth (importer) or an orbax checkpoint dir."""
     if path.endswith(".pth"):
@@ -107,6 +123,7 @@ def main(argv=None):
                         os.path.join(args.experiment_path,
                                      f"{time.strftime('%Y%m%d_%H%M%S')}.log"))
     save_experiment_config(config, os.path.join(args.experiment_path, "config.yaml"))
+    _archive_source(args.experiment_path)
     np.random.seed(args.seed)
 
     model_name = config.model.NAME
