@@ -55,3 +55,20 @@ def test_pallas_backward_matches_chunked():
     g_s = jax.grad(loss_seq, argnums=tuple(range(8)))(*args)
     for a, b in zip(g_p, g_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_pallas_bf16_inputs_interpret():
+    """bf16 activations with fp32 in-kernel state: matches the fp32 oracle to
+    bf16 tolerance and returns bf16."""
+    kw = _inputs(b=1, l=32, d=16, n=4, seed=5)
+    to_bf = lambda x: x.astype(jnp.bfloat16)
+    y = selective_scan_pallas(to_bf(kw["u"]), to_bf(kw["delta"]), kw["A"],
+                              to_bf(kw["B"]), to_bf(kw["C"]), D=kw["D"],
+                              z=to_bf(kw["z"]), delta_bias=kw["delta_bias"],
+                              block_d=16, chunk=16, interpret=True)
+    assert y.dtype == jnp.bfloat16
+    y_ref = selective_scan_seq(kw["u"], kw["delta"], kw["A"], kw["B"], kw["C"],
+                               D=kw["D"], z=kw["z"], delta_bias=kw["delta_bias"])
+    err = np.abs(np.asarray(y, np.float32) - np.asarray(y_ref))
+    rel = err / (np.abs(np.asarray(y_ref)) + 0.1)
+    assert rel.max() < 0.1, rel.max()
