@@ -68,8 +68,9 @@ class Loader:
             try:
                 for bi in range(nb):
                     q.put(make(bi))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # propagate loader errors to the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -77,6 +78,8 @@ class Loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def __iter__(self):

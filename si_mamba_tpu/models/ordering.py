@@ -112,6 +112,9 @@ def cross_merge(ys: jax.Array, eigvecs: jax.Array) -> jax.Array:
     """
     B, L, D = ys.shape
     G, k = eigvecs.shape[1], eigvecs.shape[2]
+    assert L == 2 * k * G, (
+        f"cross_merge expects the k-fwd + k-reversed layout (L=2kG); got "
+        f"L={L}, k={k}, G={G} — add_after_layer requires reverse=True")
     orders = sort_orders_by_eigenvectors(eigvecs)  # (B, k, G)
     inv = jnp.argsort(orders, axis=-1)  # inverse permutations (B, k, G)
     fwd = ys[:, : k * G].reshape(B, k, G, D)

@@ -138,19 +138,8 @@ def import_pointmamba(state_dict: Mapping[str, np.ndarray], depth: int = 12
             "bn2": _bn_stats(sd, "cls_head_finetune.5"),
         },
     }
-    consumed = _consumed_keys(params) | _consumed_keys(batch_stats)
     unexpected = sorted(set(sd) - _expected_torch_keys(depth))
     return params, batch_stats, unexpected
-
-
-def _consumed_keys(tree, prefix=""):
-    keys = set()
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            keys |= _consumed_keys(v, f"{prefix}{k}.")
-        else:
-            keys.add(f"{prefix}{k}")
-    return keys
 
 
 def _expected_torch_keys(depth: int) -> set[str]:
