@@ -160,6 +160,11 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
     start_epoch, best = 0, {}
     if resume:
         state, start_epoch, best = ckpt.resume_state(exp_dir, state)
+        print_log(f"[RESUME] restored ckpt-last: start_epoch={start_epoch} "
+                  f"best={best}", logger)
+        if start_epoch > int(config.max_epoch):
+            print_log(f"[RESUME] training already complete "
+                      f"(max_epoch={config.max_epoch})", logger)
     best_metrics = AccMetric(best.get("acc", 0.0))
     best_vote = AccMetric(0.0)
 
