@@ -32,3 +32,43 @@ class Registry:
 
 MODELS = Registry("models")
 DATASETS = Registry("datasets")
+
+
+def build_model_from_cfg(model_cfg: dict):
+    """NAME-dispatched model construction (reference models/build.py:5-8):
+    returns (flax_module, config_dataclass) for the reference NAME strings."""
+    name = model_cfg["NAME"]
+    if name not in MODELS:
+        _register_builtin_models()
+    return MODELS.build(dict(model_cfg))
+
+
+def _register_builtin_models():
+    from si_mamba_tpu.models import (
+        PartSegConfig,
+        PartSegModel,
+        PointMAEConfig,
+        PointMAEMamba,
+        PointMamba,
+        PointMambaConfig,
+    )
+
+    def _make(model_cls, cfg_cls, flatten_transformer=False):
+        def build(**cfg):
+            if flatten_transformer and "transformer_config" in cfg:
+                inner = dict(cfg.pop("transformer_config"))
+                inner.update({k: v for k, v in cfg.items()
+                              if k in cfg_cls.__dataclass_fields__})
+                cfg = inner
+            fields = cfg_cls.__dataclass_fields__
+            kwargs = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in cfg.items() if k in fields}
+            c = cfg_cls(**kwargs)
+            return model_cls(c), c
+
+        return build
+
+    MODELS.register("PointMamba")(_make(PointMamba, PointMambaConfig))
+    MODELS.register("Point_MAE_Mamba")(
+        _make(PointMAEMamba, PointMAEConfig, flatten_transformer=True))
+    MODELS.register("PartSegModel")(_make(PartSegModel, PartSegConfig))

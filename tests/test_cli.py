@@ -48,3 +48,25 @@ def test_dataset_kwargs_mapping():
         "_base_": {"NAME": "ModelNet40SVM", "DATA_PATH": "d"},
         "others": {"partition": "train", "num_points": 2048}}), args, "train")
     assert kw["partition"] == "train" and kw["num_points"] == 2048
+
+
+def test_model_registry_builds():
+    from si_mamba_tpu.train.registry import build_model_from_cfg
+
+    model, cfg = build_model_from_cfg({
+        "NAME": "PointMamba", "trans_dim": 32, "depth": 2, "cls_dim": 4,
+        "group_size": 8, "num_group": 16, "encoder_dims": 32, "knn_graph": 4})
+    assert cfg.trans_dim == 32 and cfg.depth == 2
+
+    model, cfg = build_model_from_cfg({
+        "NAME": "Point_MAE_Mamba", "group_size": 8, "num_group": 16,
+        "loss": "cdl2",
+        "transformer_config": {"trans_dim": 32, "encoder_dims": 32, "depth": 2,
+                               "decoder_depth": 1, "mask_ratio": 0.6,
+                               "knn_graph": 4}})
+    assert cfg.decoder_depth == 1 and cfg.loss == "cdl2"
+
+    model, cfg = build_model_from_cfg({
+        "NAME": "PartSegModel", "trans_dim": 32, "depth": 4,
+        "fetch_idx": [1, 2, 3], "knn_graph": 4})
+    assert cfg.fetch_idx == (1, 2, 3)

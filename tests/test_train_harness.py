@@ -197,3 +197,36 @@ def test_mae_train_step_on_mesh():
     assert np.isfinite(float(m["loss"]))
     state, m2 = step(state, pts_s, jax.random.key(3), 0.5)
     assert float(m2["loss"]) != float(m["loss"])
+
+
+def test_svm_probe_pipeline():
+    """Feature extraction + host sklearn SVM probe on a separable toy task."""
+    from si_mamba_tpu.models import PointMAEMamba, PointMAEConfig
+    from si_mamba_tpu.train.runner_pretrain import make_feature_step, svm_probe
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState
+
+    cfg = PointMAEConfig(trans_dim=32, encoder_dims=32, depth=1, decoder_depth=1,
+                         group_size=8, num_group=16, knn_graph=4, sinkhorn_iters=5)
+    model = PointMAEMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts0 = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    v = model.init({"params": jax.random.key(0), "mask": jax.random.key(1),
+                    "gumbel": jax.random.key(2)}, pts0, train=False)
+    tx, _ = build_optimizer(v["params"])
+    state = TrainState.create(v["params"], v["batch_stats"], tx)
+
+    class SepLoader:
+        def __init__(self, n, seed):
+            self.n, self.seed = n, seed
+
+        def epoch(self, _):
+            r = np.random.default_rng(self.seed)
+            labels = r.integers(0, 2, self.n)
+            pts = r.standard_normal((self.n, 64, 3)).astype(np.float32) * 0.1
+            pts[:, :, 0] += labels[:, None] * 3.0  # separable offset
+            yield pts, labels.astype(np.int32)
+
+    feature_step = jax.jit(make_feature_step(model))
+    acc = svm_probe(feature_step, state, SepLoader(24, 0), SepLoader(12, 1))
+    assert acc > 90.0, acc
