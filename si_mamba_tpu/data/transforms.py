@@ -66,13 +66,14 @@ def random_input_dropout(pts: jax.Array, key: jax.Array,
 
 
 def fps_resample(pts: jax.Array, key: jax.Array, npoints: int,
-                 oversample: float = 1.2) -> jax.Array:
+                 point_all: int | None = None) -> jax.Array:
     """Reference train-time resample (tools/runner_finetune.py:177-194):
-    FPS to int(oversample·npoints) then random-subsample npoints."""
+    FPS to ``point_all`` (the reference's 1200/2400/4800/8192 table) then
+    random-subsample npoints."""
     from si_mamba_tpu.ops.pointops import fps, gather_points
 
     B, N, _ = pts.shape
-    n_over = int(npoints * oversample)
+    n_over = point_all if point_all is not None else int(npoints * 1.2)
     if N > n_over:
         idx = fps(pts, n_over)
         pts = gather_points(pts, idx)

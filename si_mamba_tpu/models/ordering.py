@@ -77,7 +77,9 @@ def hlt_sequence(
     nd = G // ng  # number of chunks
 
     def layout(x):
-        chunks = x.reshape(B, nd, ng, C)
+        # tokens beyond nd*ng are dropped, like the reference's loop that
+        # never copies the remainder into its zero canvas
+        chunks = x[:, : nd * ng].reshape(B, nd, ng, C)
         parts = [chunks[:, 0], chunks[:, 0, ::-1]]
         for i in range(1, nd):
             parts.append(chunks[:, i])

@@ -178,11 +178,18 @@ class PointMAEMamba(nn.Module):
         pos = PosEmbedMLP(cfg.trans_dim, dtype=dtype, name="pos_embed")(grouped.center)
 
         def permute(x):
-            """Apply the K permutations: hard gather value, soft-matmul grad."""
+            """Apply the K permutations: hard gather value, straight-through
+            gradient into the Sinkhorn scores only.
+
+            Matches d/dx[(P_hard + P_hat - detach(P_hat)) @ x] = P_hard^T g:
+            the token gradient flows through the hard gather alone, while
+            d/dP_hat = g x^T flows via the soft term over stop_grad(x).
+            """
             hard = jnp.take_along_axis(
                 x[:, None].repeat(K, axis=1), order_idx[..., None], axis=2)
             if train:
-                xf = x.reshape(B, 1, G, -1).astype(jnp.float32)
+                xf = jax.lax.stop_gradient(
+                    x.reshape(B, 1, G, -1).astype(jnp.float32))
                 soft = jnp.einsum("bkij,bcjf->bkif", P_hat.astype(jnp.float32), xf)
                 soft = soft.reshape(hard.shape).astype(x.dtype)
                 return hard + soft - jax.lax.stop_gradient(soft)

@@ -43,6 +43,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put every leaf of a batch pytree sharded on its leading dim."""
+    """Shard every leaf of a batch pytree on its leading (batch) dim.
+
+    Single-host: a plain sharded device_put. Multi-host: each process holds
+    its 1/process_count slice of the GLOBAL batch (the Loader shards the
+    index space per process), so the global array must be assembled from
+    process-local data — device_put with a global sharding would silently
+    reinterpret each local array as the global one.
+    """
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def to_global(x):
+        global_shape = (x.shape[0] * jax.process_count(),) + tuple(x.shape[1:])
+        return jax.make_array_from_process_local_data(sh, np.asarray(x),
+                                                      global_shape)
+
+    return jax.tree.map(to_global, batch)

@@ -9,12 +9,32 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
 
 def _path(exp_dir: str, prefix: str) -> str:
     return os.path.abspath(os.path.join(exp_dir, prefix))
+
+
+def _path_flatten(tree: Any) -> dict:
+    """Flatten an arbitrary pytree (namedtuples, tuples, None) to a dict
+    keyed by jax keypath strings — serialization-order independent."""
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(kp): leaf for kp, leaf in leaves}
+
+
+def _path_unflatten(template: Any, flat: dict) -> Any:
+    leaves_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, t in leaves_t:
+        key = jax.tree_util.keystr(kp)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing opt_state leaf {key}")
+        leaves.append(np.asarray(flat[key], np.asarray(t).dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)
 
 
 def save_checkpoint(exp_dir: str, prefix: str, state, epoch: int,
@@ -25,8 +45,12 @@ def save_checkpoint(exp_dir: str, prefix: str, state, epoch: int,
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-        "meta": {"epoch": epoch, "metrics": metrics or {},
+        # path-keyed dict: optax states are namedtuples whose orbax dict
+        # round-trip reorders fields alphabetically — keying by path makes
+        # restore order-independent
+        "opt_state": jax.device_get(_path_flatten(state.opt_state)),
+        "meta": {"epoch": epoch, "step": int(state.step),
+                 "metrics": metrics or {},
                  "best_metrics": best_metrics or {}},
     }
     ckptr = ocp.PyTreeCheckpointer()
@@ -48,21 +72,18 @@ def resume_state(exp_dir: str, state):
         return state, 0, {}
 
     def restore_like(template, restored):
-        """Orbax returns plain lists/dicts — rebuild the template's pytree
-        structure (namedtuples, tuples, None slots) from restored leaves."""
-        leaves_t, treedef = jax.tree.flatten(template)
-        leaves_r = jax.tree.leaves(restored)
-        assert len(leaves_t) == len(leaves_r), (len(leaves_t), len(leaves_r))
-        return jax.tree.unflatten(
-            treedef, [np.asarray(r, np.asarray(t).dtype)
-                      for t, r in zip(leaves_t, leaves_r)])
+        """Rebuild the template dict tree from restored leaves (dicts
+        round-trip orbax with stable keys)."""
+        return jax.tree.map(lambda t, r: np.asarray(r, np.asarray(t).dtype),
+                            template, restored)
 
+    meta = payload["meta"]
     state = state.replace(
         params=restore_like(state.params, payload["params"]),
         batch_stats=restore_like(state.batch_stats, payload["batch_stats"]),
-        opt_state=restore_like(state.opt_state, payload["opt_state"]),
+        opt_state=_path_unflatten(state.opt_state, payload["opt_state"]),
+        step=jnp.asarray(int(meta.get("step", 0)), jnp.int32),
     )
-    meta = payload["meta"]
     return state, int(meta["epoch"]) + 1, dict(meta.get("best_metrics", {}))
 
 

@@ -84,7 +84,8 @@ def build_loader(dcfg, args, subset: str, batch_size: int, shuffle: bool,
     ds = build_dataset(name, **kwargs)
     return Loader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
                   seed=args.seed, process_index=jax.process_index(),
-                  process_count=jax.process_count())
+                  process_count=jax.process_count(),
+                  prefetch=max(int(args.num_workers), 0))
 
 
 def _archive_source(exp_dir: str) -> None:
@@ -130,6 +131,12 @@ def main(argv=None):
     bs = int(config.total_bs)
     if args.way > 0:  # few-shot: the classifier width equals the way count
         config.model.cls_dim = args.way
+    if args.scratch_model:  # train from scratch: ignore any pretrain ckpt
+        args.finetune_model = None
+    if args.deterministic:
+        # JAX compute is deterministic under fixed keys; this flag just pins
+        # the python/numpy side too (reference --deterministic = cuDNN knob)
+        print_log(f"[ARGS] deterministic run, seed={args.seed}", logger)
 
     if model_name == "PartSegModel":
         import jax

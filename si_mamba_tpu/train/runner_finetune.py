@@ -39,7 +39,8 @@ def make_train_step(model: PointMamba, npoints: int, rotation: bool):
     def step(state: TrainState, points, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
         k_fps, k_aug, k_drop, k_order = jax.random.split(rng, 4)
-        pts = transforms.fps_resample(points, k_fps, npoints)
+        pts = transforms.fps_resample(points, k_fps, npoints,
+                                      point_all=_point_all(npoints))
         if rotation:
             pts = transforms.rotate_y(pts, k_aug)
         else:
@@ -80,7 +81,8 @@ def make_vote_step(model: PointMamba, npoints: int, rotation: bool):
 
     def step(state: TrainState, points, rng):
         k_fps, k_aug = jax.random.split(rng)
-        pts = transforms.fps_resample(points, k_fps, npoints)
+        pts = transforms.fps_resample(points, k_fps, npoints,
+                                      point_all=_point_all(npoints))
         if rotation:
             pts = transforms.rotate_y(pts, k_aug)
         else:
