@@ -178,3 +178,65 @@ def load_pointmamba_checkpoint(path: str, depth: int = 12):
     sd = load_torch_state_dict(path)
     params, stats, unexpected = import_pointmamba(sd, depth=depth)
     return to_variables(params, stats), unexpected
+
+
+# ---------------------------------------------------------------------------
+# Point_MAE_Mamba (pretrain model) importer
+# ---------------------------------------------------------------------------
+
+def _diff_sgwt(sd):
+    """Reference DiffusionWaveletSGWT params (models/point_mamba.py:1996-2023):
+    pos_embed Sequential(Linear, GELU, Linear); mixer Sequential(Linear, LN,
+    GELU, Linear, LN, GELU, Linear)."""
+    return {
+        "pos_embed_fc1": _dense(sd, "diff_sgwt.pos_embed.0"),
+        "pos_embed_fc2": _dense(sd, "diff_sgwt.pos_embed.2"),
+        "mixer_fc1": _dense(sd, "diff_sgwt.mixer.0"),
+        "mixer_ln1": _ln(sd, "diff_sgwt.mixer.1"),
+        "mixer_fc2": _dense(sd, "diff_sgwt.mixer.3"),
+        "mixer_ln2": _ln(sd, "diff_sgwt.mixer.4"),
+        "mixer_fc3": _dense(sd, "diff_sgwt.mixer.6"),
+    }
+
+
+def import_point_mae(state_dict: Mapping[str, np.ndarray], depth: int = 12,
+                     decoder_depth: int = 4
+                     ) -> tuple[Dict[str, Any], Dict[str, Any], list[str]]:
+    """Map a reference Point_MAE_Mamba checkpoint (the SST pretrain path)
+    onto the PointMAEMamba pytree.
+
+    Key layout (reference models/point_mamba.py:2869-2944): the encoder
+    lives under ``MAE_encoder.`` (MaskMamba_2: encoder/pos_embed/blocks/
+    norm), the decoder under ``MAE_decoder.`` (MambaDecoder_SST:
+    blocks + norm), plus mask_token, increase_dim (Conv1d k=1), and the
+    diffusion-wavelet module ``diff_sgwt``.
+    """
+    raw = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    sd = dict(raw)
+    # flatten the MAE_encoder prefix for its submodules
+    for k in list(sd):
+        if k.startswith("MAE_encoder."):
+            sd[k[len("MAE_encoder."):]] = sd.pop(k)
+
+    enc_p, enc_s = _encoder(sd, "encoder")
+    params: Dict[str, Any] = {
+        "encoder": enc_p,
+        "pos_embed": _pos_embed(sd, "pos_embed"),
+        "blocks": _mixer_stack(sd, "blocks", depth),
+        "norm": _ln(sd, "norm"),
+        "MAE_decoder": _mixer_stack(sd, "MAE_decoder.blocks", decoder_depth),
+        "decoder_norm": _ln(sd, "MAE_decoder.norm"),
+        "mask_token": sd["mask_token"].reshape(1, 1, -1),
+        "increase_dim": _conv1x1(sd, "increase_dim.0"),
+    }
+    if "diff_sgwt.pos_embed.0.weight" in sd:
+        params["diff_sgwt"] = _diff_sgwt(sd)
+    batch_stats: Dict[str, Any] = {"encoder": enc_s}
+    return params, batch_stats, []
+
+
+def load_point_mae_checkpoint(path: str, depth: int = 12, decoder_depth: int = 4):
+    sd = load_torch_state_dict(path)
+    params, stats, _ = import_point_mae(sd, depth=depth,
+                                        decoder_depth=decoder_depth)
+    return to_variables(params, stats), []

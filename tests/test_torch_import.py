@@ -180,3 +180,81 @@ def test_imported_mixer_block_matches_torch_oracle():
     y = torch.stack(ys, dim=1) * F.silu(z)
     ref = (y @ t(f"{m}.out_proj.weight").T).numpy()
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_import_point_mae_structure():
+    """Synthetic Point_MAE_Mamba state dict -> PointMAEMamba variables."""
+    from si_mamba_tpu.models import PointMAEMamba, PointMAEConfig
+    from si_mamba_tpu.utils.torch_import import import_point_mae, to_variables
+
+    cfg = PointMAEConfig(trans_dim=48, encoder_dims=48, depth=2, decoder_depth=1,
+                         group_size=8, num_group=16, knn_graph=4,
+                         sinkhorn_iters=5)
+    d, di = cfg.trans_dim, cfg.trans_dim * 2
+    dt_rank = -(-d // 16)
+    g = torch.Generator().manual_seed(0)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.05
+    sd = {}
+
+    def conv(stem, o, i):
+        sd[f"{stem}.weight"] = r(o, i, 1); sd[f"{stem}.bias"] = r(o)
+
+    def bn(stem, c):
+        sd[f"{stem}.weight"] = 1 + 0.1 * r(c); sd[f"{stem}.bias"] = 0.1 * r(c)
+        sd[f"{stem}.running_mean"] = 0.1 * r(c)
+        sd[f"{stem}.running_var"] = torch.abs(1 + 0.1 * r(c))
+        sd[f"{stem}.num_batches_tracked"] = torch.tensor(1)
+
+    def lin(stem, o, i):
+        sd[f"{stem}.weight"] = r(o, i); sd[f"{stem}.bias"] = r(o)
+
+    def mixer_stack(prefix, n):
+        for i in range(n):
+            b = f"{prefix}.layers.{i}"
+            sd[f"{b}.norm.weight"] = torch.ones(d); sd[f"{b}.norm.bias"] = torch.zeros(d)
+            m = f"{b}.mixer"
+            sd[f"{m}.in_proj.weight"] = r(2 * di, d)
+            sd[f"{m}.conv1d.weight"] = r(di, 1, 4); sd[f"{m}.conv1d.bias"] = r(di)
+            sd[f"{m}.x_proj.weight"] = r(dt_rank + 32, di)
+            sd[f"{m}.dt_proj.weight"] = r(di, dt_rank)
+            sd[f"{m}.dt_proj.bias"] = torch.abs(r(di)) + 0.01
+            sd[f"{m}.A_log"] = torch.log(torch.arange(1, 17).float()).repeat(di, 1)
+            sd[f"{m}.D"] = torch.ones(di)
+            sd[f"{m}.out_proj.weight"] = r(d, di)
+        sd[f"{prefix}.norm_f.weight"] = torch.ones(d)
+        sd[f"{prefix}.norm_f.bias"] = torch.zeros(d)
+
+    conv("MAE_encoder.encoder.first_conv.0", 128, 3); bn("MAE_encoder.encoder.first_conv.1", 128)
+    conv("MAE_encoder.encoder.first_conv.3", 256, 128)
+    conv("MAE_encoder.encoder.second_conv.0", 512, 512); bn("MAE_encoder.encoder.second_conv.1", 512)
+    conv("MAE_encoder.encoder.second_conv.3", d, 512)
+    lin("MAE_encoder.pos_embed.0", 128, 3); lin("MAE_encoder.pos_embed.2", d, 128)
+    mixer_stack("MAE_encoder.blocks", cfg.depth)
+    sd["MAE_encoder.norm.weight"] = torch.ones(d); sd["MAE_encoder.norm.bias"] = torch.zeros(d)
+    mixer_stack("MAE_decoder.blocks", cfg.decoder_depth)
+    sd["MAE_decoder.norm.weight"] = torch.ones(d); sd["MAE_decoder.norm.bias"] = torch.zeros(d)
+    sd["mask_token"] = r(1, 1, d)
+    conv("increase_dim.0", 3 * cfg.group_size, d)
+    lin("diff_sgwt.pos_embed.0", 64, 3); lin("diff_sgwt.pos_embed.2", 64, 64)
+    lin("diff_sgwt.mixer.0", 128, 64 * 4)
+    sd["diff_sgwt.mixer.1.weight"] = torch.ones(128); sd["diff_sgwt.mixer.1.bias"] = torch.zeros(128)
+    lin("diff_sgwt.mixer.3", 64, 128)
+    sd["diff_sgwt.mixer.4.weight"] = torch.ones(64); sd["diff_sgwt.mixer.4.bias"] = torch.zeros(64)
+    lin("diff_sgwt.mixer.6", 64 * 4, 64)
+
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    params, stats, _ = import_point_mae(sd_np, depth=cfg.depth,
+                                        decoder_depth=cfg.decoder_depth)
+    variables = to_variables(params, stats)
+
+    model = PointMAEMamba(cfg)
+    pts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 3)).astype(np.float32))
+    ref_vars = model.init({"params": jax.random.key(0), "mask": jax.random.key(1),
+                           "gumbel": jax.random.key(2)}, pts, train=False)
+    ref_shapes = jax.tree.map(lambda x: x.shape, ref_vars["params"])
+    got_shapes = jax.tree.map(lambda x: x.shape, variables["params"])
+    assert ref_shapes == got_shapes
+    loss = model.apply({"params": variables["params"],
+                        "batch_stats": ref_vars["batch_stats"]}, pts,
+                       train=False, rngs={"mask": jax.random.key(1)})
+    assert np.isfinite(float(loss))
