@@ -98,3 +98,38 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     B, G, K = idx.shape
     flat = gather_points(points, idx.reshape(B, G * K))
     return flat.reshape(B, G, K, points.shape[-1])
+
+
+def ball_query(query: jax.Array, points: jax.Array, radius: float,
+               max_samples: int) -> jax.Array:
+    """Indices of up to ``max_samples`` points within ``radius`` of each query
+    (reference part_segmentation/models/pointnet2_utils.py:60-76
+    ``query_ball_point``): out-of-radius slots repeat the first in-radius
+    neighbor. query (B, S, D), points (B, N, D) -> int32 (B, S, max_samples).
+    """
+    d = pairwise_sqdist(query, points)  # (B, S, N)
+    inside = d <= radius**2
+    # nearest-first candidates; mask those outside the radius
+    neg, idx = lax.top_k(jnp.where(inside, -d, -jnp.inf), max_samples)
+    valid = neg > -jnp.inf
+    first = idx[..., :1]
+    return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
+def set_abstraction(points: jax.Array, features: jax.Array | None,
+                    n_centroids: int, radius: float, max_samples: int,
+                    mlp_apply) -> tuple[jax.Array, jax.Array]:
+    """PointNet++ SSG set-abstraction level (reference pointnet2_utils.py:
+    134-180 ``PointNetSetAbstraction``): FPS centroids → ball-query grouping
+    (center-normalized, features concatenated) → per-point MLP → max-pool.
+
+    points (B, N, 3); features (B, N, C) or None; ``mlp_apply`` maps
+    (B, S, K, 3+C) -> (B, S, K, C'). Returns (new_xyz (B, S, 3),
+    new_features (B, S, C')).
+    """
+    new_xyz = gather_points(points, fps(points, n_centroids))
+    idx = ball_query(new_xyz, points, radius, max_samples)
+    grouped = group_points(points, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped = jnp.concatenate([grouped, group_points(features, idx)], axis=-1)
+    return new_xyz, jnp.max(mlp_apply(grouped), axis=2)

@@ -91,3 +91,28 @@ def test_ops_jittable(clouds):
     f = jax.jit(lambda p: group_points(p, knn(gather_points(p, fps(p, 8)), p, 4)))
     out = f(clouds)
     assert out.shape == (2, 8, 4, 3)
+
+
+def test_ball_query(clouds):
+    from si_mamba_tpu.ops.pointops import ball_query
+
+    q = clouds[:, :6]
+    idx = np.asarray(ball_query(q, clouds, radius=0.8, max_samples=8))
+    assert idx.shape == (2, 6, 8)
+    d = _np_pairwise_sq(np.asarray(q), clouds)
+    for b in range(2):
+        for i in range(6):
+            # all returned neighbors are within the radius
+            assert (d[b, i, idx[b, i]] <= 0.8**2 + 1e-5).all()
+    # the query point itself is always in-radius -> slot 0 is itself
+    np.testing.assert_array_equal(idx[:, :, 0], np.arange(6)[None].repeat(2, 0))
+
+
+def test_set_abstraction(clouds):
+    from si_mamba_tpu.ops.pointops import set_abstraction
+
+    feats = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, 64, 5)).astype(np.float32))
+    mlp = lambda g: g.sum(-1, keepdims=True) * jnp.ones((1, 1, 1, 7))
+    new_xyz, new_f = set_abstraction(jnp.asarray(clouds), feats, 16, 0.8, 8, mlp)
+    assert new_xyz.shape == (2, 16, 3) and new_f.shape == (2, 16, 7)
