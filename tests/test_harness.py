@@ -89,3 +89,36 @@ def test_train_step_reduces_loss():
         state, m = step(state, pts_s, labels_s, jax.random.key(5))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_two_axis_mesh_train_step():
+    """Train step over a ('data', 'model') mesh with the model axis idle —
+    the round-2 tensor-parallel plumbing compiles and runs today."""
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState, make_classifier_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = PointMambaConfig(trans_dim=32, depth=2, cls_dim=4, group_size=8,
+                           num_group=16, encoder_dims=32, knn_graph=4,
+                           drop_path=0.0)
+    model = PointMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((8, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, 8).astype(np.int32))
+    mesh = make_mesh(jax.devices()[:8], axis_names=("data", "model"),
+                     shape=(4, 2))
+    variables = model.init(jax.random.key(0), pts[:2], train=False)
+    tx, _ = build_optimizer(variables["params"], lr=1e-3, epochs=1,
+                            warmup_epochs=0, steps_per_epoch=1)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+    step = jax.jit(make_classifier_train_step(model),
+                   in_shardings=(repl, data, data, None),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+    state, m = step(state, jax.device_put(pts, data),
+                    jax.device_put(labels, data), jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))

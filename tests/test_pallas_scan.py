@@ -4,6 +4,7 @@ CPU; the same kernel compiles natively on TPU — exercised by bench.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from si_mamba_tpu.ops.pallas.selective_scan_kernel import selective_scan_pallas
 from si_mamba_tpu.ops.selective_scan import selective_scan_seq
@@ -72,3 +73,47 @@ def test_pallas_bf16_inputs_interpret():
     err = np.abs(np.asarray(y, np.float32) - np.asarray(y_ref))
     rel = err / (np.abs(np.asarray(y_ref)) + 0.1)
     assert rel.max() < 0.1, rel.max()
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 7, 8, 2),     # tiny ragged L
+    (3, 130, 24, 4),  # L just over one chunk, odd d
+    (2, 256, 48, 16), # multi-chunk, full state dim
+])
+def test_pallas_fuzz_shapes_interpret(shape):
+    b, l, d, n = shape
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    u, delta, z = mk(b, l, d), mk(b, l, d) * 0.5, mk(b, l, d)
+    A = -jnp.exp(mk(d, n)); B, C = mk(b, l, n), mk(b, l, n)
+    D, db = mk(d), mk(d) * 0.1
+    y = selective_scan_pallas(u, delta, A, B, C, D=D, z=z, delta_bias=db,
+                              block_d=min(32, d), chunk=128, interpret=True)
+    y_ref = selective_scan_seq(u, delta, A, B, C, D=D, z=z, delta_bias=db)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_pallas_fuzz_grads_interpret():
+    b, l, d, n = 2, 100, 16, 8  # ragged L exercises pad-region gradients
+    rng = np.random.default_rng(77)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    u, delta, z = mk(b, l, d), mk(b, l, d) * 0.5, mk(b, l, d)
+    A = -jnp.exp(mk(d, n)); B, C = mk(b, l, n), mk(b, l, n)
+    D, db = mk(d), mk(d) * 0.1
+
+    def lp(*a):
+        return jnp.sum(selective_scan_pallas(*a[:5], D=a[5], z=a[6],
+                                             delta_bias=a[7], block_d=16,
+                                             chunk=128, interpret=True) ** 2)
+
+    def ls(*a):
+        return jnp.sum(selective_scan_seq(*a[:5], D=a[5], z=a[6],
+                                          delta_bias=a[7]) ** 2)
+
+    args = (u, delta, A, B, C, D, z, db)
+    gp = jax.grad(lp, argnums=tuple(range(8)))(*args)
+    gs = jax.grad(ls, argnums=tuple(range(8)))(*args)
+    for a, b_ in zip(gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3,
+                                   atol=2e-4)
