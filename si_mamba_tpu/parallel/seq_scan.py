@@ -1,0 +1,89 @@
+"""Sequence-parallel selective scan over a ``seq`` mesh axis.
+
+SURVEY.md §5.7: the reference has no long-sequence capability beyond
+traversal concatenation; the TPU-native extension point is sharding the scan
+itself. The recurrence is an affine composition, so cross-device
+parallelization mirrors the in-kernel chunking one level up:
+
+1. each device runs a LOCAL inclusive associative scan of its L/P time slice
+   (from a zero state), producing per-step (acc_a, acc_b) and its slice's
+   total affine map (A_i, B_i) = (prod a, final h from 0);
+2. ``all_gather`` of the P tiny (b, d, n) carries over the seq axis (ICI);
+3. every device composes the exclusive prefix of the earlier devices' maps
+   locally (P is small) to get its entry state h_in;
+4. local outputs are fixed up as h_t = acc_a_t · h_in + acc_b_t — no second
+   pass over the data.
+
+Communication: one all_gather of 2·b·d·n floats — independent of L.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _local_scan(u, delta, A, B, C, D, z, delta_bias, axis_name: str):
+    delta32 = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta32 = delta32 + delta_bias.astype(jnp.float32)[None, None, :]
+    delta32 = jax.nn.softplus(delta32)
+    u32 = u.astype(jnp.float32)
+    dA = jnp.exp(delta32[..., None] * A.astype(jnp.float32)[None, None])
+    dBu = (delta32 * u32)[..., None] * B.astype(jnp.float32)[:, :, None, :]
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    acc_a, acc_b = lax.associative_scan(combine, (dA, dBu), axis=1)
+
+    # cross-device carry: compose the exclusive prefix of earlier slices
+    my = jax.lax.axis_index(axis_name)
+    nshards = jax.lax.axis_size(axis_name)
+    carry_a = acc_a[:, -1]  # (b, d, n)
+    carry_b = acc_b[:, -1]
+    all_a = lax.all_gather(carry_a, axis_name)  # (P, b, d, n)
+    all_b = lax.all_gather(carry_b, axis_name)
+
+    def step(h, i):
+        use = i < my
+        h = jnp.where(use, all_a[i] * h + all_b[i], h)
+        return h, None
+
+    h_in, _ = lax.scan(step, jnp.zeros_like(carry_b),
+                       jnp.arange(nshards))
+
+    hs = acc_a * h_in[:, None] + acc_b
+    y = jnp.einsum("bldn,bln->bld", hs, C.astype(jnp.float32))
+    if D is not None:
+        y = y + u32 * D.astype(jnp.float32)[None, None, :]
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(u.dtype)
+
+
+def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
+                                delta_bias=None, *, mesh: Mesh,
+                                axis: str = "seq"):
+    """Selective scan with the TIME dimension sharded over ``axis``.
+
+    u, delta, z: (b, L, d); B, C: (b, L, n) — all sharded on L; A, D,
+    delta_bias replicated. L must divide by the axis size.
+    """
+    seq_spec = P(None, axis, None)
+    fn = shard_map(
+        partial(_local_scan, axis_name=axis),
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, P(), seq_spec, seq_spec, P(), seq_spec,
+                  P()),
+        out_specs=seq_spec,
+        check_rep=False,
+    )
+    return fn(u, delta, A, B, C, D, z, delta_bias)
