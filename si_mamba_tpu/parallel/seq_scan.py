@@ -15,6 +15,12 @@ parallelization mirrors the in-kernel chunking one level up:
    pass over the data.
 
 Communication: one all_gather of 2·b·d·n floats — independent of L.
+
+Autodiff note: replicated (P()) shard_map inputs hit an XLA sharding
+assertion in the transpose on this jax version, so the per-channel params
+(A, D, dt_bias) are passed tiled along the seq axis — each shard consumes
+its local copy and their cotangents come back shard-stacked and are summed
+outside. Values are identical; gradients match the sequential oracle.
 """
 
 from __future__ import annotations
@@ -25,13 +31,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
-def _local_scan(u, delta, A, B, C, D, z, delta_bias, axis_name: str):
+def _local_scan(u, delta, A_t, B, C, D_t, z, dtb_t, axis_name: str):
+    A = A_t[0]  # (d, n) local copy of the seq-tiled params
+    D = D_t[0]
+    delta_bias = dtb_t[0]
+
     delta32 = delta.astype(jnp.float32)
-    if delta_bias is not None:
-        delta32 = delta32 + delta_bias.astype(jnp.float32)[None, None, :]
+    delta32 = delta32 + delta_bias.astype(jnp.float32)[None, None, :]
     delta32 = jax.nn.softplus(delta32)
     u32 = u.astype(jnp.float32)
     dA = jnp.exp(delta32[..., None] * A.astype(jnp.float32)[None, None])
@@ -47,23 +56,19 @@ def _local_scan(u, delta, A, B, C, D, z, delta_bias, axis_name: str):
     # cross-device carry: compose the exclusive prefix of earlier slices
     my = jax.lax.axis_index(axis_name)
     nshards = jax.lax.axis_size(axis_name)
-    carry_a = acc_a[:, -1]  # (b, d, n)
-    carry_b = acc_b[:, -1]
-    all_a = lax.all_gather(carry_a, axis_name)  # (P, b, d, n)
-    all_b = lax.all_gather(carry_b, axis_name)
+    all_a = lax.all_gather(acc_a[:, -1], axis_name)  # (P, b, d, n)
+    all_b = lax.all_gather(acc_b[:, -1], axis_name)
 
     def step(h, i):
         use = i < my
         h = jnp.where(use, all_a[i] * h + all_b[i], h)
         return h, None
 
-    h_in, _ = lax.scan(step, jnp.zeros_like(carry_b),
-                       jnp.arange(nshards))
+    h_in, _ = lax.scan(step, jnp.zeros_like(acc_b[:, -1]), jnp.arange(nshards))
 
     hs = acc_a * h_in[:, None] + acc_b
     y = jnp.einsum("bldn,bln->bld", hs, C.astype(jnp.float32))
-    if D is not None:
-        y = y + u32 * D.astype(jnp.float32)[None, None, :]
+    y = y + u32 * D.astype(jnp.float32)[None, None, :]
     if z is not None:
         y = y * jax.nn.silu(z.astype(jnp.float32))
     return y.astype(u.dtype)
@@ -74,16 +79,33 @@ def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
                                 axis: str = "seq"):
     """Selective scan with the TIME dimension sharded over ``axis``.
 
-    u, delta, z: (b, L, d); B, C: (b, L, n) — all sharded on L; A, D,
-    delta_bias replicated. L must divide by the axis size.
+    u, delta, z: (b, L, d); B, C: (b, L, n) — all sharded on L; A (d, n),
+    D (d,), delta_bias (d,) replicated. L must divide by the axis size.
     """
+    nshards = mesh.shape[axis]
+    d = u.shape[-1]
+    if D is None:
+        D = jnp.zeros((d,), jnp.float32)
+    if delta_bias is None:
+        delta_bias = jnp.zeros((d,), jnp.float32)
+    from jax.sharding import NamedSharding
+
+    shard = NamedSharding(mesh, P(axis))
+
+    def tile(x):
+        # materialize + pin the sharding: a broadcast_to would let XLA mark
+        # the array replicated, tripping the shard_map transpose assertion
+        t = jnp.tile(x[None], (nshards,) + (1,) * x.ndim)
+        return jax.lax.with_sharding_constraint(t, shard)
+
     seq_spec = P(None, axis, None)
+    shard_lead = P(axis)
     fn = shard_map(
         partial(_local_scan, axis_name=axis),
         mesh=mesh,
-        in_specs=(seq_spec, seq_spec, P(), seq_spec, seq_spec, P(), seq_spec,
-                  P()),
+        in_specs=(seq_spec, seq_spec, shard_lead, seq_spec, seq_spec,
+                  shard_lead, seq_spec, shard_lead),
         out_specs=seq_spec,
-        check_rep=False,
+        check_vma=False,
     )
-    return fn(u, delta, A, B, C, D, z, delta_bias)
+    return fn(u, delta, tile(A), B, C, tile(D), z, tile(delta_bias))

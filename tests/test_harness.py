@@ -170,7 +170,9 @@ def test_sequence_parallel_scan_grads():
         return jnp.sum(selective_scan_seq(u, delta, A, B, C, D=D, z=z,
                                           delta_bias=db) ** 2)
 
-    gp = jax.grad(lp, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    # grads must run under jit: the eager path trips a jax sharding
+    # assertion in shard_map's transpose (training is always jitted)
+    gp = jax.jit(jax.grad(lp, argnums=(0, 1, 2, 3, 4)))(u, delta, A, B, C)
     gs = jax.grad(ls, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
     for a, b_ in zip(gp, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
