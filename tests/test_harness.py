@@ -177,3 +177,41 @@ def test_sequence_parallel_scan_grads():
     for a, b_ in zip(gp, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_tensor_parallel_mixer():
+    """TP mixer over an 8-way 'model' axis == the single-device mixer."""
+    from si_mamba_tpu.ops.selective_scan import mamba_mixer_apply
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.tensor_parallel import (
+        mamba_mixer_tp,
+        shard_mixer_params,
+    )
+
+    d_model, d_state, d_conv, dt_rank = 32, 16, 4, 2
+    d_inner = 2 * d_model
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    params = {
+        "in_proj_w": mk(d_model, 2 * d_inner),
+        "conv_w": mk(d_inner, d_conv),
+        "conv_b": mk(d_inner),
+        "x_proj_w": mk(d_inner, dt_rank + 2 * d_state),
+        "dt_proj_w": mk(dt_rank, d_inner),
+        "dt_proj_b": mk(d_inner),
+        "A_log": jnp.log(jnp.tile(jnp.arange(1, d_state + 1, dtype=jnp.float32),
+                                  (d_inner, 1))),
+        "D": jnp.ones(d_inner),
+        "out_proj_w": mk(d_inner, d_model),
+    }
+    x = mk(2, 24, d_model) * 10
+
+    y_ref = mamba_mixer_apply(params, x, d_state=d_state, dt_rank=dt_rank,
+                              impl="chunked")
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("model",))
+    sharded = shard_mixer_params(params, mesh)
+    y_tp = jax.jit(lambda p, x: mamba_mixer_tp(
+        p, x, mesh=mesh, d_state=d_state, dt_rank=dt_rank))(sharded, x)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref), rtol=2e-4,
+                               atol=2e-5)
