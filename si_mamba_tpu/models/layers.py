@@ -74,6 +74,7 @@ class MambaMixer(nn.Module):
     dt_rank: Optional[int] = None
     out_proj_div: float = 1.0  # GPT-2 rescale: sqrt(n_residuals * n_layer)
     scan_impl: str = "auto"
+    tp_axis: Optional[str] = None  # tensor-parallel mesh axis (context mesh)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +102,28 @@ class MambaMixer(nn.Module):
             "out_proj_w": self.param("out_proj", scaled_out_init, (d_inner, self.d_model)),
         }
         x = x.astype(self.dtype)
+        if self.tp_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from si_mamba_tpu.parallel.tensor_parallel import mamba_mixer_tp
+
+            ax = self.tp_axis
+            wsc = jax.lax.with_sharding_constraint
+            tp_params = {
+                "in_proj_w": wsc(params["in_proj_w"].reshape(
+                    self.d_model, 2, d_inner), P(None, None, ax)),
+                "conv_w": wsc(params["conv_w"], P(ax, None)),
+                "conv_b": wsc(params["conv_b"], P(ax)),
+                "x_proj_w": wsc(params["x_proj_w"], P(ax, None)),
+                "dt_proj_w": wsc(params["dt_proj_w"], P(None, ax)),
+                "dt_proj_b": wsc(params["dt_proj_b"], P(ax)),
+                "A_log": wsc(params["A_log"], P(ax, None)),
+                "D": wsc(params["D"], P(ax)),
+                "out_proj_w": wsc(params["out_proj_w"], P(ax, None)),
+            }
+            impl = self.scan_impl if self.scan_impl != "auto" else "chunked"
+            return mamba_mixer_tp(tp_params, x, d_state=self.d_state,
+                                  dt_rank=dt_rank, axis=ax, scan_impl=impl)
         from si_mamba_tpu.ops.selective_scan import mamba_mixer_apply
 
         return mamba_mixer_apply(params, x, d_state=self.d_state, dt_rank=dt_rank,
@@ -137,6 +160,7 @@ class Block(nn.Module):
     residual_in_fp32: bool = False
     out_proj_div: float = 1.0
     scan_impl: str = "auto"
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -150,7 +174,8 @@ class Block(nn.Module):
         norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
         h = norm_cls(epsilon=self.norm_eps, name="norm", dtype=self.dtype)(residual)
         h = MambaMixer(self.d_model, out_proj_div=self.out_proj_div,
-                       scan_impl=self.scan_impl, dtype=self.dtype, name="mixer")(h)
+                       scan_impl=self.scan_impl, tp_axis=self.tp_axis,
+                       dtype=self.dtype, name="mixer")(h)
         return h, residual
 
 
@@ -165,6 +190,7 @@ class MixerModel(nn.Module):
     drop_out_in_block: float = 0.0
     residual_in_fp32: bool = False
     scan_impl: str = "auto"
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -176,7 +202,8 @@ class MixerModel(nn.Module):
             hidden, residual = Block(
                 self.d_model, rms_norm=self.rms_norm, norm_eps=self.norm_eps,
                 drop_path=self.drop_path, residual_in_fp32=self.residual_in_fp32,
-                out_proj_div=div, scan_impl=self.scan_impl, dtype=self.dtype,
+                out_proj_div=div, scan_impl=self.scan_impl,
+                tp_axis=self.tp_axis, dtype=self.dtype,
                 name=f"layers_{i}",
             )(hidden, residual, deterministic)
             if self.drop_out_in_block > 0:

@@ -73,13 +73,15 @@ def _mixer_local(params, x, *, d_state: int, dt_rank: int, axis: str,
     return lax.psum(y @ params["out_proj_w"], axis)  # (B, L, d_model)
 
 
-def mamba_mixer_tp(params: Dict[str, Any], x: jax.Array, *, mesh: Mesh,
-                   d_state: int, dt_rank: int, axis: str = "model",
-                   scan_impl: str = "chunked") -> jax.Array:
+def mamba_mixer_tp(params: Dict[str, Any], x: jax.Array, *,
+                   mesh: Mesh | None = None, d_state: int, dt_rank: int,
+                   axis: str = "model", scan_impl: str = "chunked") -> jax.Array:
     """Tensor-parallel functional Mamba mixer (see shard_mixer_params).
 
     params must already be sharded by ``shard_mixer_params`` (or carry the
-    equivalent layouts); x is replicated over ``axis``.
+    equivalent layouts, e.g. via with_sharding_constraint inside a jitted
+    model); x is replicated over ``axis``. mesh=None uses the context mesh
+    (``jax.set_mesh``).
     """
     pspec = {
         "in_proj_w": P(None, None, axis),

@@ -215,3 +215,25 @@ def test_tensor_parallel_mixer():
         p, x, mesh=mesh, d_state=d_state, dt_rank=dt_rank))(sharded, x)
     np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_tp_mixer_in_model_stack():
+    """The MixerModel stack with tp_axis='model' (context mesh) matches the
+    replicated stack on the same parameters."""
+    from si_mamba_tpu.models.layers import MixerModel
+    from si_mamba_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(jax.devices()[:8], axis_names=("model",))
+    mm = MixerModel(d_model=32, n_layer=2, scan_impl="chunked")
+    x = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+    pos = jnp.zeros_like(x)
+    vm = mm.init(jax.random.key(1), x, pos)
+    y0 = mm.apply(vm, x, pos)
+
+    mm_tp = MixerModel(d_model=32, n_layer=2, scan_impl="chunked",
+                       tp_axis="model")
+    with jax.set_mesh(mesh):
+        y1 = jax.jit(lambda v, x, p: mm_tp.apply(v, x, p))(vm, x, pos)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=2e-4,
+                               atol=2e-5)
