@@ -74,3 +74,30 @@ def test_golden_spectral_orders():
     _, vecs, _, _ = topk_eigh(rw_laplacian(A), 4, smallest=True)
     orders = np.asarray(sort_orders_by_eigenvectors(vecs))
     _check_or_save("spectral_orders", orders.astype(np.float32), atol=0)
+
+
+def test_golden_partseg_logp():
+    from si_mamba_tpu.models import PartSegModel, PartSegConfig
+
+    cfg = PartSegConfig(trans_dim=48, depth=3, cls_dim=50, group_size=8,
+                        num_group=16, encoder_dims=48, knn_graph=4,
+                        fetch_idx=(0, 1, 2), drop_path=0.0, method="SAST")
+    model = PartSegModel(cfg)
+    rng = np.random.default_rng(21)
+    pts = jnp.asarray(rng.standard_normal((1, 128, 3)).astype(np.float32))
+    onehot = jax.nn.one_hot(jnp.array([3]), 16)
+    v = model.init({"params": jax.random.key(5), "order": jax.random.key(6)},
+                   pts, onehot, train=False)
+    logp = np.asarray(model.apply(v, pts, onehot, train=False,
+                                  rngs={"order": jax.random.key(6)}))
+    _check_or_save("partseg_logp", logp)
+
+
+def test_golden_hlt_sequence():
+    from si_mamba_tpu.models.ordering import hlt_sequence
+
+    rng = np.random.default_rng(31)
+    tok = jnp.asarray(rng.standard_normal((1, 32, 4)).astype(np.float32))
+    vecs = jnp.asarray(rng.standard_normal((1, 32, 4)).astype(np.float32))
+    seq, _ = hlt_sequence(tok, tok, vecs, 4, jax.random.key(3))
+    _check_or_save("hlt_sequence", np.asarray(seq))

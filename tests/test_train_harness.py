@@ -230,3 +230,28 @@ def test_svm_probe_pipeline():
     feature_step = jax.jit(make_feature_step(model))
     acc = svm_probe(feature_step, state, SepLoader(24, 0), SepLoader(12, 1))
     assert acc > 90.0, acc
+
+
+def test_loader_worker_error_propagates():
+    """Dataset exceptions inside the prefetch thread must surface."""
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("corrupt sample")
+            return np.zeros((8, 3), np.float32), 0
+
+    ld = Loader(Bad(), batch_size=2, prefetch=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        list(ld.epoch(0))
+
+
+def test_loader_no_prefetch_path():
+    ds = _ToyDataset(n=5)
+    ld = Loader(ds, batch_size=2, prefetch=0)
+    batches = list(ld.epoch(0))
+    assert len(batches) == 3  # drop_last=False keeps the ragged tail
+    assert batches[-1][0].shape[0] == 1
