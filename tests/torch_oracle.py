@@ -1,0 +1,281 @@
+"""Pure-torch replica of the reference forward pipeline, used as the oracle
+for full-model numeric-parity tests.
+
+This module independently re-states the reference semantics (cited per
+function into /root/reference/models/point_mamba.py) so that a composed
+Group -> Encoder -> graph -> eigh -> SAST -> MixerModel -> head forward can
+be compared end-to-end against the JAX implementation with shared weights.
+It is test-only code: clarity over speed (sequential scans, per-sample eigh
+loops — exactly like the reference).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def t(sd, key):
+    return torch.from_numpy(np.asarray(sd[key]))
+
+
+# ---------------------------------------------------------------------------
+# Grouping (reference Group.forward, models/point_mamba.py:76-111: pytorch3d
+# sample_farthest_points(random_start_point=False) + knn_points)
+# ---------------------------------------------------------------------------
+
+def fps_torch(points: torch.Tensor, n_samples: int) -> torch.Tensor:
+    """Deterministic FPS from index 0. points (B, N, 3) -> long (B, n)."""
+    B, N, _ = points.shape
+    idxs = torch.zeros(B, n_samples, dtype=torch.long)
+    min_d = torch.full((B, N), float("inf"))
+    for i in range(1, n_samples):
+        last = points.gather(1, idxs[:, i - 1][:, None, None].expand(-1, 1, 3))
+        d = ((points - last) ** 2).sum(-1)
+        min_d = torch.minimum(min_d, d)
+        idxs[:, i] = min_d.argmax(-1)
+    return idxs
+
+
+def knn_torch(query: torch.Tensor, points: torch.Tensor, k: int) -> torch.Tensor:
+    """(B, Q, 3) x (B, N, 3) -> long (B, Q, k) ascending by distance."""
+    d = ((query[:, :, None, :] - points[:, None, :, :]) ** 2).sum(-1)
+    return d.topk(k, largest=False, dim=-1).indices
+
+
+def group_torch(pts: torch.Tensor, num_group: int, group_size: int):
+    """-> (neighborhood (B,G,M,3) center-normalized, center (B,G,3))."""
+    center = pts.gather(1, fps_torch(pts, num_group)[..., None].expand(-1, -1, 3))
+    idx = knn_torch(center, pts, group_size)
+    B, G, M = idx.shape
+    neigh = pts.gather(1, idx.reshape(B, G * M)[..., None].expand(-1, -1, 3))
+    neigh = neigh.reshape(B, G, M, 3) - center[:, :, None, :]
+    return neigh, center
+
+
+# ---------------------------------------------------------------------------
+# Encoder / pos embed / head (reference models/point_mamba.py:42-73, 459-463,
+# 488-498) — eval-mode BatchNorm with running stats
+# ---------------------------------------------------------------------------
+
+def _bn_eval(x, sd, stem):
+    return F.batch_norm(x, t(sd, f"{stem}.running_mean"), t(sd, f"{stem}.running_var"),
+                        t(sd, f"{stem}.weight"), t(sd, f"{stem}.bias"),
+                        training=False, eps=1e-5)
+
+
+def encoder_torch(sd: dict, groups: torch.Tensor, prefix: str = "encoder") -> torch.Tensor:
+    """(B, G, M, 3) -> (B, G, C)."""
+    B, G, M, _ = groups.shape
+    x = groups.reshape(B * G, M, 3).transpose(1, 2)  # (BG, 3, M)
+    h = F.conv1d(x, t(sd, f"{prefix}.first_conv.0.weight"), t(sd, f"{prefix}.first_conv.0.bias"))
+    h = F.relu(_bn_eval(h, sd, f"{prefix}.first_conv.1"))
+    h = F.conv1d(h, t(sd, f"{prefix}.first_conv.3.weight"), t(sd, f"{prefix}.first_conv.3.bias"))
+    g = h.max(dim=2, keepdim=True).values
+    h = torch.cat([g.expand(-1, -1, M), h], dim=1)
+    h = F.conv1d(h, t(sd, f"{prefix}.second_conv.0.weight"), t(sd, f"{prefix}.second_conv.0.bias"))
+    h = F.relu(_bn_eval(h, sd, f"{prefix}.second_conv.1"))
+    h = F.conv1d(h, t(sd, f"{prefix}.second_conv.3.weight"), t(sd, f"{prefix}.second_conv.3.bias"))
+    C = h.shape[1]
+    return h.max(dim=2).values.reshape(B, G, C)
+
+
+def pos_embed_torch(sd: dict, xyz: torch.Tensor, prefix: str = "pos_embed") -> torch.Tensor:
+    h = F.linear(xyz, t(sd, f"{prefix}.0.weight"), t(sd, f"{prefix}.0.bias"))
+    h = F.gelu(h)
+    return F.linear(h, t(sd, f"{prefix}.2.weight"), t(sd, f"{prefix}.2.bias"))
+
+
+def cls_head_torch(sd: dict, feat: torch.Tensor, prefix: str = "cls_head_finetune") -> torch.Tensor:
+    h = F.linear(feat, t(sd, f"{prefix}.0.weight"), t(sd, f"{prefix}.0.bias"))
+    h = F.relu(_bn_eval(h, sd, f"{prefix}.1"))
+    h = F.linear(h, t(sd, f"{prefix}.4.weight"), t(sd, f"{prefix}.4.bias"))
+    h = F.relu(_bn_eval(h, sd, f"{prefix}.5"))
+    return F.linear(h, t(sd, f"{prefix}.8.weight"), t(sd, f"{prefix}.8.bias"))
+
+
+# ---------------------------------------------------------------------------
+# Graph + spectral (reference models/point_mamba.py:664-715 weighted
+# adjacency; :717-761 per-sample rw-Laplacian eigh)
+# ---------------------------------------------------------------------------
+
+def adjacency_torch(center: torch.Tensor, k: int, alpha: float, symmetric: bool,
+                    self_loop: bool, binary: bool) -> torch.Tensor:
+    B, N, _ = center.shape
+    d = torch.sqrt(((center[:, :, None, :] - center[:, None, :, :]) ** 2).sum(-1))
+    dists, idx = torch.topk(-d, k=k + 1, largest=True, dim=-1)
+    dists = -dists
+    if not self_loop:
+        idx = idx[:, :, 1:]
+        dists = dists[..., 1:]
+    A = torch.zeros(B, N, N)
+    b_idx = torch.arange(B)[:, None, None]
+    n_idx = torch.arange(N)[:, None]
+    w = torch.ones_like(dists) if binary else torch.exp(-alpha * dists**2)
+    A[b_idx, n_idx, idx] = w
+    if symmetric:
+        A[b_idx, idx, n_idx] = w
+    return A
+
+
+def eigh_rw_topk_torch(A: torch.Tensor, k: int, smallest: bool = True):
+    """Per-sample loop exactly like the reference solver (:717-761):
+    symmetrize A, deg+1e-6 inverse, L = I - D^-1 A, torch.linalg.eigh."""
+    B, N, _ = A.shape
+    vals = torch.zeros(B, k)
+    vecs = torch.zeros(B, N, k)
+    for i in range(B):
+        Ai = (A[i] + A[i].t()) / 2
+        deg = Ai.sum(dim=1)
+        D_inv = torch.diag(1.0 / (deg + 1e-6))
+        L = torch.eye(N) - D_inv @ Ai
+        ev, evec = torch.linalg.eigh(L)
+        if smallest:
+            vals[i], vecs[i] = ev[:k], evec[:, :k]
+        else:
+            top_vals, top_idx = torch.topk(ev, k, largest=True, sorted=True)
+            vals[i], vecs[i] = top_vals, evec[:, top_idx]
+    return vals, vecs
+
+
+def align_signs(vecs: torch.Tensor, ref: np.ndarray) -> torch.Tensor:
+    """Flip each eigenvector's sign to match ``ref`` (the solver-arbitrary
+    per-vector sign; see SURVEY.md §7.3). vecs/ref: (B, N, k)."""
+    r = torch.from_numpy(np.asarray(ref, np.float32))
+    s = torch.sign((vecs * r).sum(dim=1, keepdim=True))
+    s = torch.where(s == 0, torch.ones_like(s), s)
+    return vecs * s
+
+
+def eig_cosines(vecs: torch.Tensor, ref: np.ndarray) -> np.ndarray:
+    """|cos| between each torch eigenvector and the JAX one — degeneracy check."""
+    r = torch.from_numpy(np.asarray(ref, np.float32))
+    num = (vecs * r).sum(dim=1).abs()
+    den = vecs.norm(dim=1) * r.norm(dim=1)
+    return (num / den).numpy()
+
+
+# ---------------------------------------------------------------------------
+# Ordering (reference :817-826 sort_points_by_fiedler; :890-907 SAST concat;
+# :955-990 reverse flip; :850-866 MAMBA xyz)
+# ---------------------------------------------------------------------------
+
+def sast_order_torch(tokens, pos, eigvecs, reverse=True):
+    parts_t, parts_p = [], []
+    k = eigvecs.shape[-1]
+    C = tokens.shape[-1]
+    for i in range(k):
+        order = torch.sort(eigvecs[:, :, i], dim=1).indices
+        parts_t.append(tokens.gather(1, order[..., None].expand(-1, -1, C)))
+        parts_p.append(pos.gather(1, order[..., None].expand(-1, -1, C)))
+    tok = torch.cat(parts_t, dim=1)
+    pp = torch.cat(parts_p, dim=1)
+    if reverse:
+        tok = torch.cat([tok, tok.flip(1)], dim=1)
+        pp = torch.cat([pp, pp.flip(1)], dim=1)
+    return tok, pp
+
+
+def xyz_order_torch(tokens, pos, center):
+    C = tokens.shape[-1]
+    toks, pps = [], []
+    for d in range(3):
+        order = center[:, :, d].argsort(dim=-1)
+        toks.append(tokens.gather(1, order[..., None].expand(-1, -1, C)))
+        pps.append(pos.gather(1, order[..., None].expand(-1, -1, C)))
+    return torch.cat(toks, dim=1), torch.cat(pps, dim=1)
+
+
+# ---------------------------------------------------------------------------
+# Mamba mixer + MixerModel (mamba-ssm 1.1.1 S6 math; reference
+# models/block.py:17-76 Block, models/point_mamba.py:178-272 MixerModel)
+# ---------------------------------------------------------------------------
+
+def mixer_torch(sd: dict, m: str, x: torch.Tensor, d_state: int = 16) -> torch.Tensor:
+    """One Mamba-v1 mixer: in_proj -> causal dwconv4+silu -> x_proj ->
+    selective scan (sequential, fp32 state) -> gate -> out_proj."""
+    B, L, D = x.shape
+    xz = x @ t(sd, f"{m}.in_proj.weight").T
+    di = xz.shape[-1] // 2
+    xi, z = xz[..., :di], xz[..., di:]
+    W = t(sd, f"{m}.conv1d.weight").shape[-1]
+    xi = F.conv1d(xi.transpose(1, 2), t(sd, f"{m}.conv1d.weight"),
+                  t(sd, f"{m}.conv1d.bias"), padding=W - 1, groups=di)[..., :L]
+    xi = F.silu(xi).transpose(1, 2)
+    dt_rank = t(sd, f"{m}.dt_proj.weight").shape[-1]
+    xdb = xi @ t(sd, f"{m}.x_proj.weight").T
+    dt = F.softplus(xdb[..., :dt_rank] @ t(sd, f"{m}.dt_proj.weight").T
+                    + t(sd, f"{m}.dt_proj.bias"))
+    Bc = xdb[..., dt_rank:dt_rank + d_state]
+    Cc = xdb[..., dt_rank + d_state:]
+    A = -torch.exp(t(sd, f"{m}.A_log"))
+    h = torch.zeros(B, di, d_state)
+    ys = []
+    for s_ in range(L):
+        dA = torch.exp(dt[:, s_, :, None] * A[None])
+        dBu = (dt[:, s_] * xi[:, s_])[:, :, None] * Bc[:, s_, None, :]
+        h = dA * h + dBu
+        ys.append(torch.einsum("bdn,bn->bd", h, Cc[:, s_]))
+    y = torch.stack(ys, dim=1) + xi * t(sd, f"{m}.D")
+    y = y * F.silu(z)
+    return y @ t(sd, f"{m}.out_proj.weight").T
+
+
+def mixer_stack_torch(sd: dict, prefix: str, depth: int, x: torch.Tensor,
+                      pos: torch.Tensor) -> torch.Tensor:
+    """MixerModel.forward: hidden = x + pos; Add->LN->Mixer blocks; final
+    add + norm_f (non-fused path — the ground-truth math)."""
+    hidden = x + pos
+    residual = None
+    D = hidden.shape[-1]
+    for i in range(depth):
+        b = f"{prefix}.layers.{i}"
+        residual = hidden if residual is None else hidden + residual
+        h = F.layer_norm(residual, (D,), t(sd, f"{b}.norm.weight"),
+                         t(sd, f"{b}.norm.bias"), eps=1e-5)
+        hidden = mixer_torch(sd, f"{b}.mixer", h)
+    residual = hidden + residual if residual is not None else hidden
+    return F.layer_norm(residual, (D,), t(sd, f"{prefix}.norm_f.weight"),
+                        t(sd, f"{prefix}.norm_f.bias"), eps=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full classification forward (reference PointMamba.forward :843-1125, eval
+# mode, tau=None, use_wavelets=False — the published-results path)
+# ---------------------------------------------------------------------------
+
+def pointmamba_logits_torch(sd: dict, cfg, pts: np.ndarray,
+                            eig_align: np.ndarray | None = None):
+    """Returns (logits (B, cls) np, eigvecs (B, G, k) torch or None).
+
+    ``eig_align``: JAX eigenvectors to sign-align against (the per-vector
+    sign is solver-arbitrary; alignment makes the composed pipelines
+    comparable — degeneracy is asserted separately via ``eig_cosines``).
+    """
+    x = torch.from_numpy(np.asarray(pts, np.float32))
+    neigh, center = group_torch(x, cfg.num_group, cfg.group_size)
+    tokens = encoder_torch(sd, neigh)
+    pos = pos_embed_torch(sd, center)
+
+    eigvecs = None
+    if cfg.method == "SAST":
+        A = adjacency_torch(center, cfg.knn_graph, cfg.alpha, cfg.symmetric,
+                            cfg.self_loop, cfg.binary)
+        _, eigvecs = eigh_rw_topk_torch(A, cfg.k_top_eigenvectors, cfg.smallest)
+        if eig_align is not None:
+            eigvecs = align_signs(eigvecs, eig_align)
+        tok, pp = sast_order_torch(tokens, pos, eigvecs, reverse=cfg.reverse)
+    elif cfg.method == "MAMBA":
+        tok, pp = xyz_order_torch(tokens, pos, center)
+    else:
+        raise ValueError(cfg.method)
+
+    h = mixer_stack_torch(sd, "blocks", cfg.depth, tok, pp)
+    h = F.layer_norm(h, (cfg.trans_dim,), t(sd, "norm.weight"),
+                     t(sd, "norm.bias"), eps=1e-5)
+    feat = h.mean(dim=1)
+    logits = cls_head_torch(sd, feat)
+    return logits.numpy(), eigvecs
