@@ -67,6 +67,11 @@ class PointMAEConfig:
     sinkhorn_epsilon: float = 0.05
     sinkhorn_iters: int = 40
     sinkhorn_rounding: str = "greedy"  # 'hungarian' for host-sync parity runs
+    # 'sorted' = true differentiable sorting (improved default);
+    # 'self' = the reference HEAD's cost-vs-self, whose optimal plan is the
+    # identity — i.e. the published pretrain behavior (degenerate orders).
+    # Use parity_preset() to pin the published behavior explicitly.
+    sinkhorn_target: str = "sorted"
     # compute
     scan_impl: str = "auto"
     dtype: str = "float32"
@@ -78,6 +83,16 @@ class PointMAEConfig:
     @property
     def num_vis(self) -> int:
         return self.num_group - self.num_mask
+
+    def parity_preset(self) -> "PointMAEConfig":
+        """Published-behavior replication mode: the reference HEAD's Sinkhorn
+        cost is score-vs-SELF (models/point_mamba.py:1579-1599), whose optimal
+        transport plan is the identity permutation, and rounding is scipy
+        Hungarian (:1627-1632). This preset pins both so parity runs replicate
+        the released results' degenerate traversal orders rather than the
+        improved 'sorted' default."""
+        return dataclasses.replace(self, sinkhorn_target="self",
+                                   sinkhorn_rounding="hungarian")
 
 
 def random_mask(rng: jax.Array, B: int, G: int, num_mask: int) -> jax.Array:
@@ -133,7 +148,15 @@ class PointMAEMamba(nn.Module):
 
     @nn.compact
     def __call__(self, pts: jax.Array, train: bool = False, noaug: bool = False,
-                 tau: Optional[float] = None, vis: bool = False):
+                 tau: Optional[float] = None, vis: bool = False,
+                 mask_override: Optional[jax.Array] = None,
+                 orders_override: Optional[jax.Array] = None):
+        """``mask_override`` (B, G) 0/1 and ``orders_override`` (B, K, G) int
+        bypass the keyed mask / wavelet-Sinkhorn order generation — used by
+        the torch-oracle parity tests and traversal visualization (the
+        reference's MaskMamba_2 likewise takes ``orders`` as an input,
+        models/point_mamba.py:2316). Eval-only for orders (no soft-perm
+        gradient exists for an injected hard order)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         K = cfg.k_top_eigenvectors
@@ -148,22 +171,30 @@ class PointMAEMamba(nn.Module):
             return self._legacy_mae(cfg, dtype, grouped, train, noaug, vis)
 
         # ---- traversal orders from diffusion wavelets + sinkhorn ----------
-        A = knn_adjacency(center, k=cfg.knn_graph, alpha=cfg.alpha,
-                          symmetric=cfg.symmetric, self_loop=cfg.self_loop,
-                          binary=cfg.binary, gaussian_sigma=(cfg.alpha == 0))
-        L = rw_laplacian(A, eps=1e-6, eps_mode="clamp")
-        coeffs = DiffusionWaveletSGWT(J=cfg.wavelet_J, in_features=3, dtype=dtype,
-                                      name="diff_sgwt")(
-            center, L, tau=tau, deterministic=not train)
-        scores = scale_scores(coeffs, k=K)  # (B, G, K)
-        P, P_hat = sinkhorn_sort_perm(jnp.swapaxes(scores, 1, 2),
-                                      epsilon=cfg.sinkhorn_epsilon,
-                                      n_iters=cfg.sinkhorn_iters,
-                                      rounding=cfg.sinkhorn_rounding)  # (B, K, G, G)
-        order_idx = jnp.argmax(jax.lax.stop_gradient(P), axis=-1)  # (B, K, G) hard
+        if orders_override is not None:
+            assert not train, "orders_override is an eval/parity-test hook"
+            order_idx = orders_override.astype(jnp.int32)  # (B, K, G)
+            P_hat = None
+        else:
+            A = knn_adjacency(center, k=cfg.knn_graph, alpha=cfg.alpha,
+                              symmetric=cfg.symmetric, self_loop=cfg.self_loop,
+                              binary=cfg.binary, gaussian_sigma=(cfg.alpha == 0))
+            L = rw_laplacian(A, eps=1e-6, eps_mode="clamp")
+            coeffs = DiffusionWaveletSGWT(J=cfg.wavelet_J, in_features=3, dtype=dtype,
+                                          name="diff_sgwt")(
+                center, L, tau=tau, deterministic=not train)
+            scores = scale_scores(coeffs, k=K)  # (B, G, K)
+            P, P_hat = sinkhorn_sort_perm(jnp.swapaxes(scores, 1, 2),
+                                          epsilon=cfg.sinkhorn_epsilon,
+                                          n_iters=cfg.sinkhorn_iters,
+                                          rounding=cfg.sinkhorn_rounding,
+                                          target=cfg.sinkhorn_target)  # (B, K, G, G)
+            order_idx = jnp.argmax(jax.lax.stop_gradient(P), axis=-1)  # (B, K, G) hard
 
         # ---- masking -------------------------------------------------------
-        if noaug or cfg.mask_ratio == 0:
+        if mask_override is not None:
+            mask = mask_override.astype(jnp.float32)
+        elif noaug or cfg.mask_ratio == 0:
             mask = jnp.zeros((B, G))
         elif cfg.mask_type == "rand":
             mask = random_mask(self.make_rng("mask") if self.has_rng("mask")

@@ -99,6 +99,121 @@ def test_full_pointmamba_logits_match_torch_oracle_xyz():
     np.testing.assert_allclose(logits_j, logits_t, atol=1e-3 * scale, rtol=2e-3)
 
 
+def _synthetic_mae_state_dict(cfg, seed=0):
+    """Reference-layout Point_MAE_Mamba state dict (MAE_encoder./MAE_decoder.)."""
+    d, di = cfg.trans_dim, cfg.trans_dim * 2
+    dt_rank = -(-d // 16)
+    g = torch.Generator().manual_seed(seed)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.05
+    sd = {}
+
+    def conv(stem, o, i):
+        sd[f"{stem}.weight"] = r(o, i, 1); sd[f"{stem}.bias"] = r(o)
+
+    def bn(stem, c):
+        sd[f"{stem}.weight"] = 1 + 0.1 * r(c); sd[f"{stem}.bias"] = 0.1 * r(c)
+        sd[f"{stem}.running_mean"] = 0.1 * r(c)
+        sd[f"{stem}.running_var"] = torch.abs(1 + 0.1 * r(c))
+        sd[f"{stem}.num_batches_tracked"] = torch.tensor(1)
+
+    def lin(stem, o, i):
+        sd[f"{stem}.weight"] = r(o, i); sd[f"{stem}.bias"] = r(o)
+
+    def mixer_stack(prefix, n):
+        for i in range(n):
+            b = f"{prefix}.layers.{i}"
+            sd[f"{b}.norm.weight"] = torch.ones(d); sd[f"{b}.norm.bias"] = torch.zeros(d)
+            m = f"{b}.mixer"
+            sd[f"{m}.in_proj.weight"] = r(2 * di, d)
+            sd[f"{m}.conv1d.weight"] = r(di, 1, 4); sd[f"{m}.conv1d.bias"] = r(di)
+            sd[f"{m}.x_proj.weight"] = r(dt_rank + 32, di)
+            sd[f"{m}.dt_proj.weight"] = r(di, dt_rank)
+            sd[f"{m}.dt_proj.bias"] = torch.abs(r(di)) + 0.01
+            sd[f"{m}.A_log"] = torch.log(torch.arange(1, 17).float()).repeat(di, 1)
+            sd[f"{m}.D"] = torch.ones(di)
+            sd[f"{m}.out_proj.weight"] = r(d, di)
+        sd[f"{prefix}.norm_f.weight"] = torch.ones(d)
+        sd[f"{prefix}.norm_f.bias"] = torch.zeros(d)
+
+    conv("MAE_encoder.encoder.first_conv.0", 128, 3)
+    bn("MAE_encoder.encoder.first_conv.1", 128)
+    conv("MAE_encoder.encoder.first_conv.3", 256, 128)
+    conv("MAE_encoder.encoder.second_conv.0", 512, 512)
+    bn("MAE_encoder.encoder.second_conv.1", 512)
+    conv("MAE_encoder.encoder.second_conv.3", d, 512)
+    lin("MAE_encoder.pos_embed.0", 128, 3); lin("MAE_encoder.pos_embed.2", d, 128)
+    mixer_stack("MAE_encoder.blocks", cfg.depth)
+    sd["MAE_encoder.norm.weight"] = torch.ones(d)
+    sd["MAE_encoder.norm.bias"] = torch.zeros(d)
+    mixer_stack("MAE_decoder.blocks", cfg.decoder_depth)
+    sd["MAE_decoder.norm.weight"] = torch.ones(d)
+    sd["MAE_decoder.norm.bias"] = torch.zeros(d)
+    sd["mask_token"] = r(1, 1, d)
+    conv("increase_dim.0", 3 * cfg.group_size, d)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+@pytest.mark.slow
+def test_full_point_mae_loss_matches_torch_oracle():
+    """End-to-end MAE pretrain loss parity at the published ShapeNet-55
+    config (d=384, depth=12, decoder 4, G=64, mask 0.6, K=4; reference
+    cfgs/pretrain.yaml), eval mode, with identical injected mask + traversal
+    orders on both sides (reference MaskMamba_2 takes orders as input)."""
+    from si_mamba_tpu.models import PointMAEMamba, PointMAEConfig
+    from si_mamba_tpu.models.point_mae import random_mask
+    from si_mamba_tpu.utils.torch_import import import_point_mae
+
+    cfg = PointMAEConfig(trans_dim=384, encoder_dims=384, depth=12,
+                         decoder_depth=4, group_size=32, num_group=64,
+                         mask_ratio=0.6, k_top_eigenvectors=4, knn_graph=20,
+                         alpha=10.0, symmetric=True, binary=True, reverse=True,
+                         drop_path_rate=0.0)
+    sd = _synthetic_mae_state_dict(cfg, seed=1)
+    params, stats, _ = import_point_mae(sd, depth=cfg.depth,
+                                        decoder_depth=cfg.decoder_depth)
+    variables = to_variables(params, stats)
+
+    B, K, G = 6, cfg.k_top_eigenvectors, cfg.num_group
+    pts = _clouds(B, 1024, seed=17)
+    mask = np.asarray(random_mask(jax.random.key(4), B, G, cfg.num_mask))
+    rng = np.random.default_rng(23)
+    orders = np.stack([np.stack([rng.permutation(G) for _ in range(K)])
+                       for _ in range(B)]).astype(np.int32)
+
+    loss_j = float(PointMAEMamba(cfg).apply(
+        variables, jnp.asarray(pts), train=False,
+        mask_override=jnp.asarray(mask), orders_override=jnp.asarray(orders)))
+
+    flat_sd = {k[len("MAE_encoder."):] if k.startswith("MAE_encoder.") else k: v
+               for k, v in sd.items()}
+    loss_t = oracle.mae_loss_torch(flat_sd, cfg, pts, mask, orders)
+    np.testing.assert_allclose(loss_j, loss_t, rtol=2e-3)
+
+
+def test_parity_preset_reproduces_reference_identity_perms():
+    """The reference HEAD's Sinkhorn cost is score-vs-SELF, whose optimal
+    plan is the identity permutation (models/point_mamba.py:1579-1599 — the
+    published pretrain orders are degenerate no-ops). The parity preset must
+    reproduce exactly that."""
+    from si_mamba_tpu.models import PointMAEConfig
+    from si_mamba_tpu.ops.sinkhorn import sinkhorn_sort_perm
+
+    cfg = PointMAEConfig().parity_preset()
+    assert cfg.sinkhorn_target == "self"
+    assert cfg.sinkhorn_rounding == "hungarian"
+
+    scores = jax.random.normal(jax.random.key(0), (3, 4, 16))
+    P, _ = sinkhorn_sort_perm(scores, epsilon=0.05, n_iters=40,
+                              rounding=cfg.sinkhorn_rounding,
+                              target=cfg.sinkhorn_target)
+    # P carries straight-through float noise (P_hat - stop_grad(P_hat));
+    # the hard assignment itself must be exactly the identity
+    order = np.asarray(jnp.argmax(P, axis=-1))
+    np.testing.assert_array_equal(order, np.broadcast_to(np.arange(16), order.shape))
+    np.testing.assert_allclose(np.asarray(P), np.broadcast_to(np.eye(16), P.shape),
+                               atol=1e-6)
+
+
 def test_grouping_matches_torch_oracle():
     """FPS + kNN grouping parity (deterministic start-0 FPS) — the stage
     every downstream comparison depends on."""

@@ -279,3 +279,97 @@ def pointmamba_logits_torch(sd: dict, cfg, pts: np.ndarray,
     feat = h.mean(dim=1)
     logits = cls_head_torch(sd, feat)
     return logits.numpy(), eigvecs
+
+
+# ---------------------------------------------------------------------------
+# Point_MAE_Mamba pretrain loss (reference MaskMamba_2 eval path
+# models/point_mamba.py:2453-2541 + Point_MAE_Mamba :3094-3219). Mask and
+# traversal orders are *inputs* (like the reference's MaskMamba_2 ``orders``
+# argument) so both pipelines can be driven with identical values.
+# ---------------------------------------------------------------------------
+
+def chamfer_l2_torch(x: torch.Tensor, y: torch.Tensor) -> torch.Tensor:
+    """pytorch3d chamfer_distance semantics: per-cloud mean of min sq-dists,
+    summed over both directions; returns per-sample (B,)."""
+    d = ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+    return d.min(dim=2).values.mean(dim=1) + d.min(dim=1).values.mean(dim=1)
+
+
+def mae_loss_torch(sd: dict, cfg, pts: np.ndarray, mask: np.ndarray,
+                   orders: np.ndarray) -> float:
+    """Eval-mode (hard-perm) MAE forward -> scalar chamfer loss.
+
+    mask: (B, G) 0/1; orders: (B, K, G) int traversal orders.
+    State-dict keys use the reference layout (MAE_encoder./MAE_decoder. etc.)
+    already flattened by the caller to encoder./blocks./MAE_decoder.blocks…
+    """
+    x = torch.from_numpy(np.asarray(pts, np.float32))
+    m = torch.from_numpy(np.asarray(mask)).bool()
+    orders = torch.from_numpy(np.asarray(orders)).long()
+    B, K, G = orders.shape
+    neigh, center = group_torch(x, cfg.num_group, cfg.group_size)
+    tokens = encoder_torch(sd, neigh)
+    pos = pos_embed_torch(sd, center)
+    C = tokens.shape[-1]
+    n_mask = int(cfg.mask_ratio * G)
+    n_vis = G - n_mask
+
+    # P_hard one-hot (B, K, G, G); eval => P = P_hard (reference :2454-2459)
+    P = F.one_hot(orders, G).float()
+
+    # permute mask/tokens/pos/neighborhood per traversal (reference :2483-2515)
+    mask_k = torch.matmul(P, m[:, None, :, None].float()).squeeze(-1).bool()  # (B,K,G)
+    tok_k = torch.matmul(P, tokens[:, None])  # (B,K,G,C)
+    pos_k = torch.matmul(P, pos[:, None])
+    nbr_k = torch.einsum("bhij,bjkl->bhikl", P, neigh)  # (B,K,G,M,3)
+
+    tok_vis = tok_k[~mask_k].view(B, -1, C)        # (B, K*n_vis, C)
+    pos_vis = pos_k[~mask_k].view(B, -1, C)
+    pos_msk = pos_k[mask_k].view(B, -1, C)
+    pos_full = pos_k.flatten(1, 2)                 # (B, K*G, C)
+    nbr_full = nbr_k.flatten(1, 2)                 # (B, K*G, M, 3)
+    mask_flat = mask_k.flatten(1, 2)               # (B, K*G)
+
+    assert cfg.reverse
+    x_in = torch.cat([tok_vis, tok_vis.flip(1)], dim=1)
+    pos_in = torch.cat([pos_vis, pos_vis.flip(1)], dim=1)
+    pos_dec = torch.cat([pos_full, pos_full.flip(1)], dim=1)
+    nbr_dec = torch.cat([nbr_full, nbr_full.flip(1)], dim=1)
+    mask_rev = mask_flat.flip(-1)
+
+    # encoder over visible tokens (reference :2537-2541)
+    h = mixer_stack_torch(sd, "blocks", cfg.depth, x_in, pos_in)
+    x_vis = F.layer_norm(h, (C,), t(sd, "norm.weight"), t(sd, "norm.bias"), eps=1e-5)
+
+    # token restoration (reference :3150-3190): per-traversal canvases for
+    # the forward half, one canvas for the flipped half
+    mask_token = t(sd, "mask_token").reshape(1, 1, C).expand(B, 2 * K * n_mask, C)
+    canvases = []
+    for k in range(K):
+        canvas = torch.zeros(B, G, C)
+        mt = mask_token[:, k * n_mask:(k + 1) * n_mask]
+        xv = x_vis[:, k * n_vis:(k + 1) * n_vis]
+        mk = mask_k[:, k]
+        canvas[mk] = mt.reshape(-1, C)[: int(mk.sum())]
+        canvas[~mk] = xv.reshape(-1, C)[: int((~mk).sum())]
+        canvases.append(canvas)
+    canvas2 = torch.zeros(B, K * G, C)
+    mt = mask_token[:, K * n_mask:]
+    xv = x_vis[:, K * n_vis:]
+    canvas2[mask_rev] = mt.reshape(-1, C)[: int(mask_rev.sum())]
+    canvas2[~mask_rev] = xv.reshape(-1, C)[: int((~mask_rev).sum())]
+    x_full = torch.cat(canvases + [canvas2], dim=1)  # (B, 2KG, C)
+
+    # SST decoder: all tokens, final norm (reference :2837-2866)
+    h = mixer_stack_torch(sd, "MAE_decoder.blocks", cfg.decoder_depth, x_full, pos_dec)
+    x_rec = F.layer_norm(h, (C,), t(sd, "MAE_decoder.norm.weight"),
+                         t(sd, "MAE_decoder.norm.bias"), eps=1e-5)
+
+    final_mask = torch.cat([mask_flat, mask_rev], dim=1)  # (B, 2KG)
+    x_masked = x_rec[final_mask].view(B, -1, C)
+    M = x_masked.shape[1]
+    rebuild = F.conv1d(x_masked.transpose(1, 2), t(sd, "increase_dim.0.weight"),
+                       t(sd, "increase_dim.0.bias")).transpose(1, 2)
+    rebuild = rebuild.reshape(B * M, -1, 3)
+    gt = nbr_dec[final_mask].reshape(B * M, -1, 3)
+    return float(chamfer_l2_torch(rebuild, gt).mean())
