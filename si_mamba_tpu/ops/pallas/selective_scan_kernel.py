@@ -39,8 +39,71 @@ from jax.experimental.pallas import tpu as pltpu
 # forward
 # ---------------------------------------------------------------------------
 
+def _scan_fwd_subblocks(a, b, h0, *, T: int, S: int):
+    """Inclusive pair-scan of (a, b) along time via S-sized sub-blocks.
+
+    Seeds each sub-block's first element with the running carry so the
+    scanned ``b`` IS the state sequence hs — no post-scan ``a·h0 + b`` fold.
+    log2(S) Hillis-Steele passes per sub-block instead of log2(T) over the
+    whole chunk: ~55% fewer scan ops at S=8, identical math (measured
+    floor-bound thereafter — the exp/discretize/contract ops dominate).
+    Returns (hs (n, T, BD), h_out (n, BD)).
+    """
+    n, _, BD = a.shape
+    h = h0
+    parts = []
+    for s0 in range(0, T, S):
+        a_s = a[:, s0 : s0 + S, :]
+        b_s = b[:, s0 : s0 + S, :]
+        b_s = jnp.concatenate(
+            [b_s[:, :1] + a_s[:, :1] * h[:, None, :], b_s[:, 1:]], axis=1)
+        k = 1
+        while k < S:
+            a_prev = jnp.concatenate(
+                [jnp.ones((n, k, BD), jnp.float32), a_s[:, : S - k, :]], axis=1)
+            b_prev = jnp.concatenate(
+                [jnp.zeros((n, k, BD), jnp.float32), b_s[:, : S - k, :]], axis=1)
+            b_s = b_s + a_s * b_prev
+            a_s = a_s * a_prev
+            k *= 2
+        parts.append(b_s)
+        h = b_s[:, S - 1]
+    return jnp.concatenate(parts, axis=1), h
+
+
+def _scan_rev_subblocks(af, q, dh0, *, T: int, S: int):
+    """Reverse suffix-scan ``dh_t = q_t + af_t · dh_{t+1}`` via S-sized
+    sub-blocks processed right-to-left (Mosaic has no ``rev``; passes shift
+    toward the END with identity padding). Seeds each sub-block's last
+    element with the carry from the block to its right. Returns
+    (dh (n, T, BD), carry q-seed for the previous chunk's last element...
+    actually the final dh[:, 0] convention is handled by the caller).
+    """
+    n, _, BD = af.shape
+    carry = dh0
+    parts = []
+    for s0 in range(T - S, -1, -S):
+        a_s = af[:, s0 : s0 + S, :]
+        q_s = q[:, s0 : s0 + S, :]
+        q_s = jnp.concatenate(
+            [q_s[:, : S - 1], q_s[:, S - 1 :] + a_s[:, S - 1 :] * carry[:, None, :]],
+            axis=1)
+        k = 1
+        while k < S:
+            a_next = jnp.concatenate(
+                [a_s[:, k:, :], jnp.ones((n, k, BD), jnp.float32)], axis=1)
+            q_next = jnp.concatenate(
+                [q_s[:, k:, :], jnp.zeros((n, k, BD), jnp.float32)], axis=1)
+            q_s = q_s + a_s * q_next
+            a_s = a_s * a_next
+            k *= 2
+        parts.insert(0, q_s)
+        carry = q_s[:, 0]
+    return jnp.concatenate(parts, axis=1), carry
+
+
 def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
-                y_ref, hent_ref, h_ref, *, T: int):
+                y_ref, hent_ref, h_ref, *, T: int, S: int):
     n, BD = a_ref.shape
     c = pl.program_id(2)
 
@@ -63,21 +126,8 @@ def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
     a = jnp.exp(dt_c[None, :, :] * A)  # (n, T, BD)
     b = (dt_c * x_c)[None, :, :] * b_c[:, :, None]  # (n, T, BD)
 
-    # Hillis-Steele inclusive scan along the T axis
-    k = 1
-    while k < T:
-        a_prev = jnp.concatenate(
-            [jnp.ones((n, k, BD), jnp.float32), a[:, : T - k, :]], axis=1)
-        b_prev = jnp.concatenate(
-            [jnp.zeros((n, k, BD), jnp.float32), b[:, : T - k, :]], axis=1)
-        b = b + a * b_prev
-        a = a * a_prev
-        k *= 2
-
-    hs = a * h_ref[:, :][:, None, :] + b  # (n, T, BD)
-    # static slice of the last step (scalar-int indexing would lower to the
-    # unsupported dynamic_slice primitive)
-    h_ref[:, :] = hs[:, T - 1 : T, :].reshape(n, BD)
+    hs, h_out = _scan_fwd_subblocks(a, b, h_ref[:, :], T=T, S=S)
+    h_ref[:, :] = h_out
 
     y_c = jnp.sum(c_c[:, :, None] * hs, axis=0)  # (T, BD)
     y_c = y_c + Dp[None, :] * x_c
@@ -86,13 +136,13 @@ def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
 
 
 def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
-                     chunk: int, interpret: bool):
+                     chunk: int, interpret: bool, sub_block: int = 8):
     Bb, L, d = x.shape
     n = At.shape[0]
     nchunks = L // chunk
     ndb = d // block_d
 
-    kernel = functools.partial(_fwd_kernel, T=chunk)
+    kernel = functools.partial(_fwd_kernel, T=chunk, S=sub_block)
     grid = (Bb, ndb, nchunks)
     ld = lambda i, j, c: (i, c, j)
     ln = lambda i, j, c: (i, 0, c)
@@ -132,7 +182,7 @@ def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
 def _bwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
                 g_ref, hent_ref,
                 dx_ref, ddt_ref, dz_ref, db_ref, dc_ref, da_ref, dd_ref,
-                ddtb_ref, dh_ref, *, T: int):
+                ddtb_ref, dh_ref, *, T: int, S: int):
     n, BD = a_ref.shape
     c = pl.program_id(2)  # 0 == LAST time chunk (reversed index maps)
 
@@ -153,20 +203,10 @@ def _bwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
     g_c = g_ref[0].astype(jnp.float32)
     h_in = hent_ref[0, 0]  # (n, BD) chunk entry state
 
-    # ---- recompute in-chunk states ------------------------------------
+    # ---- recompute in-chunk states (sub-block scan, carry-seeded) ------
     a = jnp.exp(delta[None, :, :] * A)
     b = (delta * x_c)[None, :, :] * b_c[:, :, None]
-    acc_a, acc_b = a, b
-    k = 1
-    while k < T:
-        a_prev = jnp.concatenate(
-            [jnp.ones((n, k, BD), jnp.float32), acc_a[:, : T - k, :]], axis=1)
-        b_prev = jnp.concatenate(
-            [jnp.zeros((n, k, BD), jnp.float32), acc_b[:, : T - k, :]], axis=1)
-        acc_b = acc_b + acc_a * b_prev
-        acc_a = acc_a * a_prev
-        k *= 2
-    hs = acc_a * h_in[:, None, :] + acc_b  # (n, T, BD)
+    hs, _ = _scan_fwd_subblocks(a, b, h_in, T=T, S=S)
     h_prev = jnp.concatenate([h_in[:, None, :], hs[:, : T - 1, :]], axis=1)
 
     # ---- gate/output grads --------------------------------------------
@@ -178,53 +218,41 @@ def _bwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
 
     # ---- reverse recurrence: dh_t = gy_t C_t + a_{t+1} dh_{t+1} --------
     q = c_c[:, :, None] * gy[None, :, :]  # (n, T, BD)
-    # shift a left: ashift[t] = a[t+1]; boundary uses ones and the carry
+    # shift a left: ashift[t] = a[t+1]; boundary uses ones, so the rightmost
+    # sub-block's carry seed adds the cross-chunk carry (already a-scaled)
+    # unmultiplied — matching the single-pass kernel's convention.
     ashift = jnp.concatenate([a[:, 1:, :], jnp.ones((n, 1, BD), jnp.float32)],
                              axis=1)
-    # add the cross-chunk carry to the last position (concat, not .at — jnp
-    # scatter lowers to unsupported dynamic_update_slice on TPU pallas)
-    q = jnp.concatenate(
-        [q[:, : T - 1, :], q[:, T - 1 : T, :] + dh_ref[:, :][:, None, :]], axis=1)
-    # right-to-left Hillis-Steele (Mosaic has no `rev`): shift toward the
-    # END with identity padding. dh_t = q_t + ashift_t·dh_{t+1}.
-    qf, af = q, ashift
-    k = 1
-    while k < T:
-        a_next = jnp.concatenate(
-            [af[:, k:, :], jnp.ones((n, k, BD), jnp.float32)], axis=1)
-        q_next = jnp.concatenate(
-            [qf[:, k:, :], jnp.zeros((n, k, BD), jnp.float32)], axis=1)
-        qf = qf + af * q_next
-        af = af * a_next
-        k *= 2
-    dh = qf  # (n, T, BD)
+    dh, _ = _scan_rev_subblocks(ashift, q, dh_ref[:, :], T=T, S=S)
     # carry for the next (earlier) chunk: a_0 * dh_0
     dh_ref[:, :] = (a[:, 0:1, :] * dh[:, 0:1, :]).reshape(n, BD)
 
     # ---- parameter/input grads ----------------------------------------
-    da = dh * h_prev  # (n, T, BD)
-    # ddelta = sum_n [da*a*A + dh*(x*B)]
-    ddelta = jnp.sum(da * a * A, axis=0) + jnp.sum(
-        dh * b_c[:, :, None], axis=0) * x_c
+    daa = dh * h_prev * a  # (n, T, BD) — shared by ddelta and the dA partial
+    dhb = jnp.sum(dh * b_c[:, :, None], axis=0)  # (T, BD)
+    ddelta = jnp.sum(daa * A, axis=0) + dhb * x_c
     ddt_raw = ddelta * jax.nn.sigmoid(dt_raw)
     ddt_ref[0] = ddt_raw.astype(ddt_ref.dtype)
-    dx = delta * jnp.sum(dh * b_c[:, :, None], axis=0) + gy * Dp[None, :]
+    dx = delta * dhb + gy * Dp[None, :]
     dx_ref[0] = dx.astype(dx_ref.dtype)
+    # dB/dC reduce over the LANE axis (BD). (An MXU ones-matvec was tried and
+    # rejected: the v5e MXU rounds operands to bf16, pushing grads to ~5e-4
+    # rel error vs the oracle — and it wasn't faster.)
     db_ref[0, 0] = jnp.sum(dh * (delta * x_c)[None, :, :], axis=2)  # (n, T)
     dc_ref[0, 0] = jnp.sum(hs * gy[None, :, :], axis=2)  # (n, T)
-    da_ref[0, 0] = jnp.sum(da * a * delta[None, :, :], axis=1)  # (n, BD)
+    da_ref[0, 0] = jnp.sum(daa * delta[None, :, :], axis=1)  # (n, BD)
     dd_ref[0, 0] = jnp.sum(gy * x_c, axis=0)[None, :]  # (1, BD)
     ddtb_ref[0, 0] = jnp.sum(ddt_raw, axis=0)[None, :]  # (1, BD)
 
 
 def _pallas_scan_bwd(x, dt, Bt, Ct, z, At, D, dt_bias, g, h_entries, *,
-                     block_d: int, chunk: int, interpret: bool):
+                     block_d: int, chunk: int, interpret: bool, sub_block: int = 8):
     Bb, L, d = x.shape
     n = At.shape[0]
     nchunks = L // chunk
     ndb = d // block_d
 
-    kernel = functools.partial(_bwd_kernel, T=chunk)
+    kernel = functools.partial(_bwd_kernel, T=chunk, S=sub_block)
     grid = (Bb, ndb, nchunks)
     # reversed chunk order: grid step c touches time chunk (nchunks-1-c)
     rd = lambda i, j, c: (i, nchunks - 1 - c, j)
@@ -293,7 +321,11 @@ def _prep_args(u, delta, B, C, z, chunk):
 
 
 def _block_d_for(d, block_d):
-    bd = block_d
+    """Largest usable lane-block: the requested size if it divides d, else
+    fall back to 2/3 of it (384 -> 256) and keep halving."""
+    if d % block_d == 0:
+        return block_d
+    bd = (block_d * 2) // 3
     while d % bd != 0:
         bd //= 2
     return bd
@@ -301,7 +333,7 @@ def _block_d_for(d, block_d):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
-                           block_d=256, chunk=128, interpret=False):
+                           block_d=384, chunk=128, interpret=False):
     y, _ = _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret)
     return y
 
@@ -327,7 +359,9 @@ def _vjp_bwd(block_d, chunk, interpret, res, g):
         if u_p.shape[1] != L else g.astype(jnp.float32)
     # the backward keeps ~8 live (n, T, BD) fp32 arrays — halve BD vs the
     # forward so they fit VMEM without spilling
-    bd = _block_d_for(d, max(128, block_d // 2))
+    # with S-sub-block scans the live (n, T, BD) set shrank enough to run the
+    # backward at full BD=256 (fewer grid cells, less per-cell overhead)
+    bd = _block_d_for(d, block_d)
     Bt = jnp.swapaxes(B_p, 1, 2)
     Ct = jnp.swapaxes(C_p, 1, 2)
     At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
@@ -349,7 +383,7 @@ _selective_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
-                          delta_softplus: bool = True, *, block_d: int = 256,
+                          delta_softplus: bool = True, *, block_d: int = 384,
                           chunk: int = 128, interpret: bool = False):
     """Drop-in for ``selective_scan`` with fused Pallas forward AND backward.
 
