@@ -228,9 +228,31 @@ def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
       out_proj_w  (d_inner, d_model)
 
     x: (B, L, d_model) -> (B, L, d_model).
+
+    impl='fused' (opt-in) routes the whole interior — conv, projections,
+    scan, gate — through the single fully-fused Pallas kernel
+    (ops/pallas/fused_mixer_kernel.py): only xz and y touch HBM per layer.
+    Measured on v5e it is NOT faster than impl='pallas' (82.4 vs 79.3 ms for
+    the 12-layer stack fwd+bwd at B=32/L=512): the op-level profile shows
+    both are VPU-bound inside the kernels, and the fused variant adds
+    in-kernel matmul+recompute work that cancels the saved HBM traffic. Its
+    in-kernel projections also round differently from XLA's (grads ~4e-3
+    rel-to-max vs the seq oracle, vs 3e-5 for 'pallas'), so 'auto' keeps
+    routing to the scan-only kernel. Other impls compose causal_conv1d +
+    XLA projections + ``selective_scan``.
     """
     xz = x @ params["in_proj_w"]  # (B, L, 2*d_inner)
     d_inner = xz.shape[-1] // 2
+    if impl in ("fused", "fused_interpret"):
+        from si_mamba_tpu.ops.pallas.fused_mixer_kernel import fused_mamba_mixer
+
+        y = fused_mamba_mixer(
+            xz, params["conv_w"], params["conv_b"], params["x_proj_w"],
+            params["dt_proj_w"], params["dt_proj_b"],
+            -jnp.exp(params["A_log"].astype(jnp.float32)), params["D"],
+            dt_rank=dt_rank, d_state=d_state,
+            interpret=(impl == "fused_interpret"))
+        return y @ params["out_proj_w"]
     xi, z = xz[..., :d_inner], xz[..., d_inner:]
     xi = causal_conv1d(xi, params["conv_w"], params["conv_b"], activation="silu")
     x_dbl = xi @ params["x_proj_w"]  # (B, L, dt_rank + 2n)
