@@ -23,13 +23,22 @@ def trunc_normal_init(std: float = 0.02):
 
 
 class PatchEncoder(nn.Module):
-    """PointNet-style per-group encoder: (B, G, n, 3) -> (B, G, C)."""
+    """PointNet-style per-group encoder: (B, G, n, 3) -> (B, G, C).
+
+    ``bn_momentum`` optionally overrides the BatchNorm running-average
+    momentum with a (possibly traced) per-epoch value — the TPU-side
+    equivalent of the reference's ``BNMomentumScheduler`` (utils/misc.py:
+    103-133), which mutates module momentum per epoch. Flax convention:
+    momentum here is the running-average retention (1 - torch momentum).
+    """
 
     encoder_channel: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, point_groups: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, point_groups: jax.Array, train: bool = False,
+                 bn_momentum=None) -> jax.Array:
+        mom = 0.9 if bn_momentum is None else bn_momentum
         B, G, n, _ = point_groups.shape
         # Rank-3 (B·G, n, C) layout: rank-4 Dense→BN→max chains trip an XLA
         # TPU fusion-cost CHECK (FusedSpatialMajorConvolution, fusion_util.cc)
@@ -37,7 +46,7 @@ class PatchEncoder(nn.Module):
         x = point_groups.astype(self.dtype).reshape(B * G, n, 3)
         # first_conv: 3 -> 128 -> BN -> ReLU -> 256
         x = nn.Dense(128, kernel_init=trunc_normal_init(), name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = nn.BatchNorm(use_running_average=not train, momentum=mom, epsilon=1e-5,
                          name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dense(256, kernel_init=trunc_normal_init(), name="conv2")(x)
@@ -46,7 +55,7 @@ class PatchEncoder(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (BG, n, 512)
         # second_conv: 512 -> 512 -> BN -> ReLU -> C
         x = nn.Dense(512, kernel_init=trunc_normal_init(), name="conv3")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = nn.BatchNorm(use_running_average=not train, momentum=mom, epsilon=1e-5,
                          name="bn2", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dense(self.encoder_channel, kernel_init=trunc_normal_init(), name="conv4")(x)
@@ -76,10 +85,12 @@ class ClsHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 bn_momentum=None) -> jax.Array:
+        mom = 0.9 if bn_momentum is None else bn_momentum
         for i in range(2):
             x = nn.Dense(self.hidden, kernel_init=trunc_normal_init(), name=f"fc{i+1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            x = nn.BatchNorm(use_running_average=not train, momentum=mom, epsilon=1e-5,
                              name=f"bn{i+1}", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Dropout(self.drop)(x, deterministic=not train)

@@ -101,13 +101,22 @@ class PointMamba(nn.Module):
 
     @nn.compact
     def __call__(self, pts: jax.Array, train: bool = False,
-                 fps_start_idx: jax.Array | int = 0) -> jax.Array:
+                 fps_start_idx: jax.Array | int = 0,
+                 bn_momentum=None, return_features: bool = False) -> jax.Array:
+        """``bn_momentum``: optional traced override of every BatchNorm's
+        running-average momentum (flax convention) — the scheduler value from
+        ``optim.bn_momentum_schedule`` (reference BNMomentumScheduler,
+        utils/misc.py:103-133 + config key ``bnmscheduler``).
+
+        ``return_features``: also return the pooled pre-head feature
+        (reference ``concat_f``, models/point_mamba.py:1124) — the t-SNE
+        eval input (``test_only_tsne``, tools/runner_finetune.py:573-611)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
 
         grouped = group_divider(pts, cfg.num_group, cfg.group_size, start_idx=fps_start_idx)
         tokens = PatchEncoder(cfg.encoder_dims, dtype=dtype, name="encoder")(
-            grouped.neighborhood, train=train)
+            grouped.neighborhood, train=train, bn_momentum=bn_momentum)
         pos = PosEmbedMLP(cfg.trans_dim, dtype=dtype, name="pos_embed")(grouped.center)
 
         eigvecs = None
@@ -150,7 +159,11 @@ class PointMamba(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x)
         feat = jnp.mean(x, axis=1)
-        return ClsHead(cfg.cls_dim, dtype=dtype, name="cls_head_finetune")(feat, train=train)
+        logits = ClsHead(cfg.cls_dim, dtype=dtype, name="cls_head_finetune")(
+            feat, train=train, bn_momentum=bn_momentum)
+        if return_features:
+            return logits, feat
+        return logits
 
 
 def cross_entropy_loss_acc(logits: jax.Array, labels: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -1,3 +1,12 @@
-from si_mamba_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch
+from si_mamba_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+    dp_train_jit,
+    dp_eval_jit,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+           "replicate", "dp_train_jit", "dp_eval_jit"]

@@ -42,6 +42,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Commit every leaf of a pytree (train state / variables) to the mesh,
+    replicated on all devices — the DDP 'same weights everywhere' invariant."""
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def dp_train_jit(step_fn, mesh: Mesh, n_batch: int = 2, n_extra: int = 1):
+    """Jit a train step ``(state, *batch, *extra) -> (state, metrics)`` with
+    explicit data-parallel shardings: state replicated (and donated), batch
+    args sharded on 'data', trailing extras (rng key, scalars) replicated.
+    XLA inserts the gradient/metric all-reduces. Mirrors the reference's DDP
+    wrap (tools/runner_finetune.py:124-129) the TPU way."""
+    repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl,) + (data,) * n_batch + (None,) * n_extra,
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))
+
+
+def dp_eval_jit(step_fn, mesh: Mesh, n_batch: int = 1, n_extra: int = 0):
+    """Jit an eval/feature step ``(state, *batch, *extra) -> per-example out``:
+    state replicated, batch sharded, output sharded on 'data' (gathered on
+    host readback)."""
+    repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl,) + (data,) * n_batch + (None,) * n_extra,
+        out_shardings=data)
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Shard every leaf of a batch pytree on its leading (batch) dim.
 

@@ -27,6 +27,9 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--tsne", action="store_true",
+                   help="t-SNE scatter of test-set features (reference "
+                        "test_tsne, tools/runner_finetune.py:615-631)")
     p.add_argument("--vote", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpts", type=str, default=None)
@@ -184,9 +187,9 @@ def main(argv=None):
                      val_freq=args.val_freq)
         return
 
-    from si_mamba_tpu.train.runner_finetune import finetune_run, test_run
+    from si_mamba_tpu.train.runner_finetune import finetune_run, test_run, tsne_run
 
-    if args.test:
+    if args.test or args.tsne:
         from si_mamba_tpu.models import PointMamba, PointMambaConfig
         from si_mamba_tpu.train.checkpoint import load_checkpoint
         from si_mamba_tpu.train.optim import build_optimizer
@@ -209,7 +212,12 @@ def main(argv=None):
                                                 variables["batch_stats"])}
         tx, _ = build_optimizer(variables["params"])
         state = TrainState.create(variables["params"], variables["batch_stats"], tx)
-        test_run(config, test_loader, state, vote=args.vote, logger=logger)
+        if args.tsne:
+            tsne_run(config, test_loader, state,
+                     os.path.join(args.experiment_path, "tsne.png"),
+                     logger=logger)
+        else:
+            test_run(config, test_loader, state, vote=args.vote, logger=logger)
         return
 
     train_loader = build_loader(config.dataset.train, args, "train", bs,

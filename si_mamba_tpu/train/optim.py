@@ -47,15 +47,50 @@ def cosine_warmup_epoch_schedule(base_lr: float, epochs: int, warmup_epochs: int
     return schedule
 
 
+def lambda_lr_schedule(base_lr: float, steps_per_epoch: int, *,
+                       decay_step: float, lr_decay: float,
+                       lowest_decay: float):
+    """Reference 'LambdaLR' (utils/misc.py:28-34):
+    lr(e) = base · max(lr_decay^(e / decay_step), lowest_decay)."""
+
+    def schedule(step):
+        epoch = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
+        return base_lr * jnp.maximum(lr_decay ** (epoch / decay_step), lowest_decay)
+
+    return schedule
+
+
+def bn_momentum_schedule(*, bn_momentum: float = 0.1, bn_decay: float = 0.5,
+                         decay_step: float = 40, lowest_decay: float = 0.01):
+    """Reference 'Lambda' BN-momentum scheduler (utils/misc.py:37-43,103-133):
+    torch momentum m(e) = max(bn_momentum · bn_decay^(e/decay_step),
+    lowest_decay). Returns a function epoch -> FLAX momentum (= 1 - torch
+    momentum; flax BatchNorm keeps ``momentum`` of the running average).
+    Feed the value to the model's ``bn_momentum`` argument each epoch."""
+
+    def schedule(epoch: float) -> float:
+        m_torch = max(bn_momentum * bn_decay ** (epoch / decay_step), lowest_decay)
+        return 1.0 - m_torch
+
+    return schedule
+
+
 def build_optimizer(params: Any, *, opt_type: str = "AdamW", lr: float = 3e-4,
                     weight_decay: float = 0.05, epochs: int = 300,
                     warmup_epochs: int = 10, steps_per_epoch: int = 1,
                     grad_clip: float | None = 10.0,
                     sched_type: str = "CosLR",
-                    step_per_update: int = 1) -> tuple[optax.GradientTransformation, Any]:
+                    step_per_update: int = 1,
+                    sched_kwargs: dict | None = None) -> tuple[optax.GradientTransformation, Any]:
     """Returns (tx, schedule). ``params`` is used only to build the wd mask."""
     if sched_type == "CosLR":
         schedule = cosine_warmup_epoch_schedule(lr, epochs, warmup_epochs, steps_per_epoch)
+    elif sched_type == "LambdaLR":
+        kw = sched_kwargs or {}
+        schedule = lambda_lr_schedule(
+            lr, steps_per_epoch, decay_step=float(kw.get("decay_step", 40)),
+            lr_decay=float(kw.get("lr_decay", 0.7)),
+            lowest_decay=float(kw.get("lowest_decay", 0.02)))
     elif sched_type == "StepLR":
         # torch StepLR(step_size, gamma) — epochs arg reused as step_size
         schedule = lambda step: lr * (0.1 ** (step // (steps_per_epoch * epochs)))

@@ -1,0 +1,64 @@
+"""Native-TPU (Mosaic-compiled) assertions for the Pallas scan kernels.
+
+The interpret-mode tests (test_pallas_scan.py) pin the kernel MATH; these pin
+the Mosaic LOWERING — a compiler/lowering regression would silently rot bench
+numbers otherwise (VERDICT.md round-1 weak #4). Run with
+
+    SI_MAMBA_TPU_TESTS=1 python -m pytest tests/ -m tpu
+
+in an environment with a real TPU (e.g. the axon tunnel); skipped elsewhere.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(jax.default_backend() != "tpu",
+                       reason="requires a real TPU backend "
+                              "(set SI_MAMBA_TPU_TESTS=1 outside the CPU conftest)"),
+]
+
+from si_mamba_tpu.ops.pallas.selective_scan_kernel import selective_scan_pallas  # noqa: E402
+from si_mamba_tpu.ops.selective_scan import selective_scan_seq  # noqa: E402
+
+
+def _inputs(b=2, l=512, d=768, n=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    return (mk(b, l, d), mk(b, l, d) * 0.5, -jnp.exp(mk(d, n)), mk(b, l, n),
+            mk(b, l, n), mk(d), mk(b, l, d), mk(d) * 0.1)
+
+
+def test_pallas_native_forward_matches_seq():
+    u, delta, A, B, C, D, z, db = _inputs()
+    y = jax.jit(lambda *a: selective_scan_pallas(
+        a[0], a[1], a[2], a[3], a[4], D=a[5], z=a[6], delta_bias=a[7]))(
+            u, delta, A, B, C, D, z, db)
+    y_ref = selective_scan_seq(u, delta, A, B, C, D=D, z=z, delta_bias=db)
+    err = np.abs(np.asarray(y) - np.asarray(y_ref))
+    rel = err / (np.abs(np.asarray(y_ref)) + 1e-2)
+    assert rel.max() < 3e-4, rel.max()
+
+
+def test_pallas_native_all_grads_match_seq():
+    u, delta, A, B, C, D, z, db = _inputs(b=1, l=256, seed=7)
+
+    def lp(*a):
+        return jnp.sum(selective_scan_pallas(
+            a[0], a[1], a[2], a[3], a[4], D=a[5], z=a[6], delta_bias=a[7]) ** 2)
+
+    def ls(*a):
+        return jnp.sum(selective_scan_seq(
+            a[0], a[1], a[2], a[3], a[4], D=a[5], z=a[6], delta_bias=a[7]) ** 2)
+
+    args = (u, delta, A, B, C, D, z, db)
+    gp = jax.jit(jax.grad(lp, argnums=tuple(range(8))))(*args)
+    gs = jax.grad(ls, argnums=tuple(range(8)))(*args)
+    names = ("du", "ddelta", "dA", "dB", "dC", "dD", "dz", "ddelta_bias")
+    for name, a, b in zip(names, gp, gs):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b) / (np.abs(b) + 1e-2 * np.abs(b).max() + 1e-8)
+        assert rel.max() < 3e-4, (name, rel.max())

@@ -1,0 +1,153 @@
+"""End-to-end runner tests on the virtual 8-device CPU mesh (VERDICT r1 #4):
+each user-facing runner (finetune / pretrain / seg) trains with EXPLICIT data-
+parallel shardings — state replicated on every device, batch sharded on
+'data' — then saves and resumes. This covers the code paths users actually
+run, not just the dryrun (reference behavior: DDP wrap + DistributedSampler,
+tools/runner_finetune.py:124-129, tools/builder.py:24-31)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from si_mamba_tpu.data.loader import Loader
+from si_mamba_tpu.train.config import ConfigDict, _to_config
+
+
+def _assert_replicated(state):
+    """Every param leaf must be addressable on ALL devices (replicated)."""
+    ndev = jax.device_count()
+    leaf = jax.tree.leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == ndev, leaf.sharding
+    assert leaf.sharding.is_fully_replicated, leaf.sharding
+
+
+class _CloudDataset:
+    def __init__(self, n=16, npoints=1100, classes=4, seed=0):
+        r = np.random.default_rng(seed)
+        self.pts = r.standard_normal((n, npoints, 3)).astype(np.float32)
+        self.labels = r.integers(0, classes, n).astype(np.int32)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        return self.pts[i], self.labels[i]
+
+
+def _finetune_cfg(max_epoch=1):
+    cfg = ConfigDict(yaml.safe_load(f"""
+optimizer: {{type: AdamW, kwargs: {{lr: 0.001, weight_decay: 0.05}}}}
+scheduler: {{type: CosLR, kwargs: {{epochs: 2, initial_epochs: 1}}}}
+model: {{NAME: PointMamba, trans_dim: 32, depth: 2, cls_dim: 4, group_size: 8,
+        num_group: 16, encoder_dims: 32, knn_graph: 4, drop_path: 0.0,
+        method: SAST}}
+npoints: 1024
+total_bs: 8
+max_epoch: {max_epoch}
+grad_norm_clip: 10
+"""))
+    return _to_config(cfg)
+
+
+def test_finetune_run_multichip_and_resume(tmp_path):
+    from si_mamba_tpu.train.runner_finetune import finetune_run
+
+    assert jax.device_count() == 8
+    ds = _CloudDataset()
+    train = Loader(ds, 8, shuffle=True, drop_last=True)
+    val = Loader(ds, 8, shuffle=False)
+
+    state, best = finetune_run(_finetune_cfg(0), train, val, str(tmp_path), seed=0)
+    _assert_replicated(state)
+    assert os.path.exists(tmp_path / "ckpt-last")
+
+    # resume continues from the saved epoch with the replicated state
+    state2, _ = finetune_run(_finetune_cfg(1), train, val, str(tmp_path),
+                             resume=True, seed=0)
+    _assert_replicated(state2)
+    assert int(state2.step) == 2 * int(state.step)
+
+
+def test_tsne_run(tmp_path):
+    """--tsne eval path (reference test_tsne, tools/runner_finetune.py:615-
+    631): features -> host t-SNE -> scatter file."""
+    import jax.numpy as jnp
+
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.runner_finetune import tsne_run
+    from si_mamba_tpu.train.train_state import TrainState
+
+    cfg = _finetune_cfg(0)
+    model_cfg = PointMambaConfig(**{
+        k: v for k, v in cfg.model.items()
+        if k in PointMambaConfig.__dataclass_fields__})
+    model = PointMamba(model_cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 1024, 3)), train=False)
+    tx, _ = build_optimizer(variables["params"])
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    loader = Loader(_CloudDataset(n=40), 8, shuffle=False)
+    out = tsne_run(cfg, loader, state, str(tmp_path / "tsne.png"))
+    assert os.path.exists(out)
+
+
+def test_pretrain_run_multichip(tmp_path):
+    from si_mamba_tpu.train.runner_pretrain import pretrain_run
+
+    cfg = _to_config(ConfigDict(yaml.safe_load("""
+optimizer: {type: AdamW, kwargs: {lr: 0.001, weight_decay: 0.05}}
+scheduler: {type: CosLR, kwargs: {epochs: 2, initial_epochs: 1}}
+model:
+  NAME: Point_MAE_Mamba
+  transformer_config: {trans_dim: 32, encoder_dims: 32, depth: 1,
+                       decoder_depth: 1, group_size: 8, num_group: 16,
+                       knn_graph: 4, sinkhorn_iters: 5}
+npoints: 64
+total_bs: 8
+max_epoch: 0
+""")))
+
+    class _PtsOnly(_CloudDataset):
+        def __init__(self):
+            super().__init__(n=8, npoints=64)
+
+    train = Loader(_PtsOnly(), 8, shuffle=True, drop_last=True)
+    state, _ = pretrain_run(cfg, train, None, str(tmp_path), seed=0)
+    _assert_replicated(state)
+    assert os.path.exists(tmp_path / "ckpt-last")
+
+
+def test_seg_run_multichip(tmp_path):
+    from si_mamba_tpu.data.shapenetpart import SEG_CLASSES
+    from si_mamba_tpu.models.segmentation import PartSegConfig
+    from si_mamba_tpu.train.runner_seg import seg_run
+
+    cat0 = list(SEG_CLASSES)[0]
+    parts = SEG_CLASSES[cat0]
+
+    class _SegLoader:
+        def __init__(self, n=8, npts=64):
+            r = np.random.default_rng(0)
+            self.pts = r.standard_normal((n, npts, 3)).astype(np.float32)
+            self.cls = np.zeros(n, np.int32)
+            self.seg = r.choice(parts, (n, npts)).astype(np.int32)
+
+        def __len__(self):
+            return 1
+
+        def epoch(self, _):
+            yield self.pts, self.cls, self.seg
+
+    cfg = PartSegConfig(trans_dim=32, encoder_dims=32, depth=2,
+                        group_size=8, num_group=16, knn_graph=4,
+                        fetch_idx=(0, 1), method="SAST")
+    loader = _SegLoader()
+    state, best = seg_run(cfg, loader, loader, str(tmp_path), epochs=1,
+                          warmup_epochs=0, seed=0)
+    _assert_replicated(state)
+    assert os.path.exists(tmp_path / "ckpt-last")
+    assert 0.0 <= best["instance_miou"] <= 1.0
