@@ -62,26 +62,25 @@ def main():
         return state, losses
 
     key = jax.random.key(1)
-    state, losses = multi_step(state, pts, labels, key)
-    np.asarray(losses)  # compile + full sync (host readback)
+    # single AOT compile reused for cost analysis AND the timing loop (the
+    # K-step program's flops / K = per-step flops for the MFU estimate)
+    compiled = multi_step.lower(state, pts, labels, key).compile()
+    try:
+        step_flops = float(compiled.cost_analysis()["flops"]) / K_STEPS
+    except Exception:
+        step_flops = float("nan")
+    state, losses = compiled(state, pts, labels, key)
+    np.asarray(losses)  # full sync (host readback)
 
     lat = []
     for _ in range(3):
         t0 = time.perf_counter()
-        state, losses = multi_step(state, pts, labels, key)
+        state, losses = compiled(state, pts, labels, key)
         np.asarray(losses)
         _ = float(jnp.sum(jax.tree.leaves(state.params)[0]))
         lat.append((time.perf_counter() - t0) / K_STEPS)
     dt = float(np.median(lat))
     clouds_per_sec = B / dt
-
-    # MFU estimate: XLA's own cost model for ONE train step / measured time.
-    try:
-        step_flops = float(
-            jax.jit(step_fn).lower(state, pts, labels, key)
-            .compile().cost_analysis()["flops"])
-    except Exception:
-        step_flops = float("nan")
     mfu = step_flops / dt / V5E_BF16_PEAK_FLOPS
 
     # spectral stage p50 (graph + batched eigh + top-k), amortized; both the

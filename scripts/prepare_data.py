@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Provision the reference datasets in the on-disk formats the data layer
+consumes (reference README.md "Dataset" section; formats exercised by
+tests/test_datasets.py).
+
+Three modes:
+
+  --check      validate an existing ./data tree against the expected layout
+               and file formats (the useful mode in offline environments)
+  --download   fetch what is fetchable from the documented sources (ShapeNet
+               -Part has a direct zip; ModelNet40/ScanObjectNN/ShapeNet55
+               are gated behind manual downloads — the script prints exact
+               instructions and verifies whatever is already in place)
+  --synthetic  generate tiny synthetic datasets in the EXACT reference
+               formats so every runner can be driven end-to-end without
+               real data (sizes via --n-train/--n-test/--npoints)
+
+Layout (reference README.md:61-133):
+
+  data/ModelNet/modelnet40_normal_resampled/
+      modelnet40_shape_names.txt  modelnet40_{train,test}.txt
+      <class>/<class>_XXXX.txt          (csv xyz+normal rows)
+      [modelnet40_{split}_{N}pts_fps.dat caches appear on first load]
+  data/ScanObjectNN/{main_split,main_split_nobg}/
+      {training,test}_objectdataset[_augmentedrot_scale75].h5
+  data/ShapeNet55-34/shapenet_pc/<synset>-<model>.npy  (+ ShapeNet-55/{train,test}.txt)
+  data/shapenetcore_partanno_segmentation_benchmark_v0_normal/
+      <synset>/<model>.txt  train_test_split/shuffled_{split}_file_list.json
+      synsetoffset2category.txt
+
+One-command evals once real data + a checkpoint exist:
+  python -m si_mamba_tpu.train.cli --config cfgs/finetune_modelnet.yaml \
+      --test --ckpts <ckpt.pth|orbax-dir> --exp_name eval
+  (add --vote for the 300x10 voting protocol; BASELINE.md target 93.35%)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+SHAPENETPART_URL = ("https://shapenet.cs.stanford.edu/media/"
+                    "shapenetcore_partanno_segmentation_benchmark_v0_normal.zip")
+MANUAL_SOURCES = {
+    "ModelNet": "Point-BERT DATASET.md (github.com/lulutang0608/Point-BERT) "
+                "or modelnet.cs.princeton.edu",
+    "ScanObjectNN": "hkust-vgd.github.io/scanobjectnn (requires agreement)",
+    "ShapeNet55-34": "Point-BERT DATASET.md (github.com/lulutang0608/Point-BERT)",
+}
+
+MODELNET_CLASSES = ["airplane", "bathtub", "bed", "bench", "bookshelf"]
+
+
+def _ok(msg):
+    print(f"  [ok] {msg}")
+
+
+def _missing(msg):
+    print(f"  [MISSING] {msg}")
+    return False
+
+
+def check_tree(root: str) -> bool:
+    """Validate layout + spot-check file formats. Returns all-present."""
+    good = True
+    mn = os.path.join(root, "ModelNet", "modelnet40_normal_resampled")
+    if os.path.isdir(mn):
+        for f in ("modelnet40_shape_names.txt", "modelnet40_train.txt",
+                  "modelnet40_test.txt"):
+            p = os.path.join(mn, f)
+            good &= os.path.isfile(p) or _missing(p)
+        names = open(os.path.join(mn, "modelnet40_shape_names.txt")).read().split()
+        sample = open(os.path.join(mn, "modelnet40_train.txt")).readline().strip()
+        cls = "_".join(sample.split("_")[:-1])
+        pc = os.path.join(mn, cls, sample + ".txt")
+        if os.path.isfile(pc):
+            row = np.loadtxt(pc, delimiter=",", max_rows=1)
+            assert row.shape[-1] == 6, f"{pc}: expect xyz+normal csv rows"
+            _ok(f"ModelNet40: {len(names)} classes, sample {sample} parses")
+        else:
+            good = _missing(pc)
+    else:
+        good = _missing(f"{mn} ({MANUAL_SOURCES['ModelNet']})")
+
+    so = os.path.join(root, "ScanObjectNN")
+    for split, fname in (("main_split", "training_objectdataset_augmentedrot_scale75.h5"),
+                         ("main_split", "training_objectdataset.h5"),
+                         ("main_split_nobg", "training_objectdataset.h5")):
+        p = os.path.join(so, split, fname)
+        if os.path.isfile(p):
+            import h5py
+
+            with h5py.File(p, "r") as f:
+                assert "data" in f and "label" in f, f"{p}: expect data/label keys"
+            _ok(f"ScanObjectNN {split}/{fname}: h5 keys present")
+        else:
+            good = _missing(f"{p} ({MANUAL_SOURCES['ScanObjectNN']})")
+
+    sn = os.path.join(root, "ShapeNet55-34")
+    lst = os.path.join(sn, "ShapeNet-55", "train.txt")
+    if os.path.isfile(lst):
+        first = open(lst).readline().strip()
+        npy = os.path.join(sn, "shapenet_pc", first)
+        if os.path.isfile(npy):
+            arr = np.load(npy)
+            assert arr.ndim == 2 and arr.shape[1] == 3
+            _ok(f"ShapeNet55: {first} -> {arr.shape}")
+        else:
+            good = _missing(npy)
+    else:
+        good = _missing(f"{lst} ({MANUAL_SOURCES['ShapeNet55-34']})")
+
+    sp = os.path.join(root, "shapenetcore_partanno_segmentation_benchmark_v0_normal")
+    cat = os.path.join(sp, "synsetoffset2category.txt")
+    if os.path.isfile(cat):
+        split_dir = os.path.join(sp, "train_test_split")
+        good &= os.path.isdir(split_dir) or _missing(split_dir)
+        _ok("ShapeNetPart: category map + split dir present")
+    else:
+        good = _missing(f"{cat} (direct zip: {SHAPENETPART_URL})")
+    return good
+
+
+def download(root: str) -> None:
+    """Fetch the directly-downloadable pieces; print instructions for the rest."""
+    import urllib.request
+    import zipfile
+
+    os.makedirs(root, exist_ok=True)
+    target = os.path.join(root, "shapenetpart.zip")
+    if not os.path.isdir(os.path.join(
+            root, "shapenetcore_partanno_segmentation_benchmark_v0_normal")):
+        print(f"downloading ShapeNetPart from {SHAPENETPART_URL} ...")
+        try:
+            urllib.request.urlretrieve(SHAPENETPART_URL, target)
+            with zipfile.ZipFile(target) as z:
+                z.extractall(root)
+            os.remove(target)
+        except Exception as e:  # offline / gated env
+            print(f"  download failed ({e}); fetch manually and unzip into {root}")
+    for name, src in MANUAL_SOURCES.items():
+        print(f"{name}: manual download required -> {src}")
+
+
+def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int) -> None:
+    """Tiny synthetic datasets in the exact reference on-disk formats."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+
+    # --- ModelNet40 ---
+    mn = os.path.join(root, "ModelNet", "modelnet40_normal_resampled")
+    os.makedirs(mn, exist_ok=True)
+    with open(os.path.join(mn, "modelnet40_shape_names.txt"), "w") as f:
+        f.write("\n".join(MODELNET_CLASSES) + "\n")
+    ids = {"train": [], "test": []}
+    for ci, cls in enumerate(MODELNET_CLASSES):
+        os.makedirs(os.path.join(mn, cls), exist_ok=True)
+        for j in range(n_train + n_test):
+            sid = f"{cls}_{j:04d}"
+            pts = rng.standard_normal((npoints, 6)).astype(np.float32)
+            np.savetxt(os.path.join(mn, cls, sid + ".txt"), pts, delimiter=",")
+            ids["train" if j < n_train else "test"].append(sid)
+    for split, lst in ids.items():
+        with open(os.path.join(mn, f"modelnet40_{split}.txt"), "w") as f:
+            f.write("\n".join(lst) + "\n")
+
+    # --- ScanObjectNN (both splits) ---
+    for split in ("main_split", "main_split_nobg"):
+        d = os.path.join(root, "ScanObjectNN", split)
+        os.makedirs(d, exist_ok=True)
+        for sub, n in (("training", n_train * 5), ("test", n_test * 5)):
+            data = rng.standard_normal((n, 2048, 3)).astype(np.float32)
+            label = rng.integers(0, 15, n).astype(np.int64)
+            for fname in ([f"{sub}_objectdataset.h5",
+                           f"{sub}_objectdataset_augmentedrot_scale75.h5"]
+                          if split == "main_split" else [f"{sub}_objectdataset.h5"]):
+                with h5py.File(os.path.join(d, fname), "w") as f:
+                    f["data"], f["label"] = data, label
+
+    # --- ShapeNet55 ---
+    sn = os.path.join(root, "ShapeNet55-34")
+    os.makedirs(os.path.join(sn, "shapenet_pc"), exist_ok=True)
+    os.makedirs(os.path.join(sn, "ShapeNet-55"), exist_ok=True)
+    names = []
+    for i in range(n_train + n_test):
+        name = f"02691156-synth{i:04d}.npy"
+        np.save(os.path.join(sn, "shapenet_pc", name),
+                rng.standard_normal((npoints, 3)).astype(np.float32))
+        names.append(name)
+    with open(os.path.join(sn, "ShapeNet-55", "train.txt"), "w") as f:
+        f.write("\n".join(names[:n_train]) + "\n")
+    with open(os.path.join(sn, "ShapeNet-55", "test.txt"), "w") as f:
+        f.write("\n".join(names[n_train:]) + "\n")
+
+    # --- ShapeNetPart ---
+    sp = os.path.join(root, "shapenetcore_partanno_segmentation_benchmark_v0_normal")
+    synsets = {"02691156": "Airplane", "03636649": "Lamp"}
+    part_base = {"02691156": 0, "03636649": 24}
+    os.makedirs(os.path.join(sp, "train_test_split"), exist_ok=True)
+    with open(os.path.join(sp, "synsetoffset2category.txt"), "w") as f:
+        for syn, cat in synsets.items():
+            f.write(f"{cat}\t{syn}\n")
+    files = {"train": [], "val": [], "test": []}
+    for syn in synsets:
+        os.makedirs(os.path.join(sp, syn), exist_ok=True)
+        for i in range(n_train + n_test):
+            mid = f"synth{i:04d}"
+            xyz = rng.standard_normal((npoints, 3)).astype(np.float32)
+            nrm = rng.standard_normal((npoints, 3)).astype(np.float32)
+            seg = (part_base[syn] + rng.integers(0, 4, npoints)).astype(np.float32)
+            np.savetxt(os.path.join(sp, syn, mid + ".txt"),
+                       np.concatenate([xyz, nrm, seg[:, None]], 1), fmt="%.6f")
+            split = "train" if i < n_train else "test"
+            files[split].append(f"shape_data/{syn}/{mid}")
+    files["val"] = files["train"][-1:]
+    for split, lst in files.items():
+        with open(os.path.join(sp, "train_test_split",
+                               f"shuffled_{split}_file_list.json"), "w") as f:
+            json.dump(lst, f)
+    print(f"synthetic datasets written under {root}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--root", default="data")
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--download", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n-train", type=int, default=4)
+    p.add_argument("--n-test", type=int, default=2)
+    p.add_argument("--npoints", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    if args.synthetic:
+        synthetic(args.root, args.n_train, args.n_test, args.npoints, args.seed)
+    if args.download:
+        download(args.root)
+    if args.check or not (args.synthetic or args.download):
+        ok = check_tree(args.root)
+        print("ALL PRESENT" if ok else "INCOMPLETE (see [MISSING] lines)")
+        sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

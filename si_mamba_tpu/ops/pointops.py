@@ -133,3 +133,28 @@ def set_abstraction(points: jax.Array, features: jax.Array | None,
     if features is not None:
         grouped = jnp.concatenate([grouped, group_points(features, idx)], axis=-1)
     return new_xyz, jnp.max(mlp_apply(grouped), axis=2)
+
+
+def set_abstraction_msg(points: jax.Array, features: jax.Array | None,
+                        n_centroids: int, radius_list, max_samples_list,
+                        mlp_applies) -> tuple[jax.Array, jax.Array]:
+    """Multi-scale-grouping set abstraction (reference pointnet2_utils.py:
+    200-259 ``PointNetSetAbstractionMsg``): one shared FPS centroid set, per
+    scale a ball-query at its own (radius, nsample) → center-normalized
+    grouping (+features) → that scale's MLP → max-pool, features concatenated
+    across scales.
+
+    ``mlp_applies[i]`` maps (B, S, K_i, 3+C) -> (B, S, K_i, C'_i). Returns
+    (new_xyz (B, S, 3), concat features (B, S, sum_i C'_i)).
+    """
+    assert len(radius_list) == len(max_samples_list) == len(mlp_applies)
+    new_xyz = gather_points(points, fps(points, n_centroids))
+    outs = []
+    for radius, k, mlp_apply in zip(radius_list, max_samples_list, mlp_applies):
+        idx = ball_query(new_xyz, points, radius, k)
+        grouped = group_points(points, idx) - new_xyz[:, :, None, :]
+        if features is not None:
+            grouped = jnp.concatenate([group_points(features, idx), grouped],
+                                      axis=-1)
+        outs.append(jnp.max(mlp_apply(grouped), axis=2))
+    return new_xyz, jnp.concatenate(outs, axis=-1)

@@ -55,6 +55,85 @@ def sinkhorn_soft_perm(scores: jax.Array, epsilon: float = 0.05,
     return jnp.exp(f[..., :, None] + logK + g[..., None, :])
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def sinkhorn_perm_ift(C: jax.Array, tau: float = 1.0, n_iters: int = 20
+                      ) -> jax.Array:
+    """Soft permutation from a cost matrix with the reference's
+    implicit-function-theorem backward (models/new_layers.py:31-91).
+
+    Forward: kernel-domain Sinkhorn ``u = 1/(Kv), v = 1/(K^T u)`` on
+    K = exp(-C/tau) (all-ones marginals, reference ``_sinkhorn_uv``);
+    P = diag(u) K diag(v). Backward: instead of unrolling the iterations,
+    solve the (2N, 2N) adjoint system F_x^T λ = g of the fixed-point
+    conditions and map λ back to dC — O(1) memory in ``n_iters`` (the
+    unrolled default in ``sinkhorn_soft_perm`` stores every iterate).
+
+    Documented deltas from the reference (whose SinkhornFunction is dead at
+    HEAD — point_mamba.py imports only StochasticNeuralSortPermuter):
+    (1) it assembles F_x but solves it AS F_x^T (its F12 is diag(u)K, the
+    (1,2) block of F_x, where F_x^T needs K diag(v)); (2) it omits the
+    direct term ∂⟨gP,P⟩/∂C|_{u,v} = -gP⊙P/τ; (3) it uses a plain solve on
+    a singular system (the u→cu, v→v/c gauge is an exact null direction),
+    which NaNs/explodes. This implementation fixes all three — solved via
+    pinv with rtol so the gauge null-space is projected out — and is
+    verified against the unrolled-autodiff gradient (rel err ~1e-7,
+    tests/test_sinkhorn_wavelets.py).
+    """
+    _, _, _, P = _sinkhorn_uv_kernel(C, tau, n_iters)
+    return P
+
+
+def _sinkhorn_uv_kernel(C, tau, n_iters):
+    K = jnp.exp(-C.astype(jnp.float32) / tau)
+    N = C.shape[-1]
+    u0 = jnp.full(C.shape[:-1], 1.0 / N, jnp.float32)
+
+    def body(_, uv):
+        u, v = uv
+        u = 1.0 / jnp.einsum("...ij,...j->...i", K, v)
+        v = 1.0 / jnp.einsum("...ji,...j->...i", K, u)
+        return u, v
+
+    u, v = lax.fori_loop(0, n_iters, body, (u0, u0))
+    return K, u, v, u[..., :, None] * K * v[..., None, :]
+
+
+def _ift_fwd(C, tau, n_iters):
+    K, u, v, P = _sinkhorn_uv_kernel(C, tau, n_iters)
+    return P, (K, u, v)
+
+
+def _ift_bwd(tau, n_iters, res, gradP):
+    # corrected reference implicit_sinkhorn_grad (new_layers.py:31-67):
+    # fixed-point F = (u∘(Kv) - 1, v∘(K^T u) - 1); solve F_x^T λ = g, then
+    # dC = P⊙(λ_r ⊕ λ_c)/τ - gP⊙P/τ.
+    K, u, v = res
+    gradP = gradP.astype(jnp.float32)
+    a = jnp.einsum("...ij,...j->...i", K, v)  # K v
+    b = jnp.einsum("...ji,...j->...i", K, u)  # K^T u
+    g_u = jnp.sum(gradP * K * v[..., None, :], axis=-1)
+    g_v = jnp.sum(gradP * K * u[..., :, None], axis=-2)
+    # F_x^T blocks: [[diag(Kv), K diag(v)], [K^T diag(u), diag(K^T u)]]
+    F11 = jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(a)
+    F12 = K * v[..., None, :]
+    F21 = jnp.swapaxes(K, -1, -2) * u[..., None, :]
+    F22 = jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(b)
+    F_T = jnp.concatenate(
+        [jnp.concatenate([F11, F12], axis=-1),
+         jnp.concatenate([F21, F22], axis=-1)], axis=-2)
+    g = jnp.concatenate([g_u, g_v], axis=-1)
+    # pinv + rtol projects out the scaling-gauge null direction
+    lam = jnp.einsum("...ij,...j->...i", jnp.linalg.pinv(F_T, rtol=1e-6), g)
+    N = K.shape[-1]
+    lam_r, lam_c = lam[..., :N], lam[..., N:]
+    P = u[..., :, None] * K * v[..., None, :]
+    gradC = (P * (lam_r[..., :, None] + lam_c[..., None, :]) - gradP * P) / tau
+    return (gradC,)
+
+
+sinkhorn_perm_ift.defvjp(_ift_fwd, _ift_bwd)
+
+
 def greedy_round(P: jax.Array) -> jax.Array:
     """Greedy row-by-row argmax assignment → hard permutation (0/1).
 

@@ -122,11 +122,21 @@ def _load_pretrained(path: str):
 
 def main(argv=None):
     args = get_args(argv)
+    snapshot = os.path.join(args.experiment_path, "config.yaml")
+    if args.resume:
+        # resume re-reads the experiment's saved config, not the CLI one
+        # (reference utils/config.py:48-54)
+        if not os.path.exists(snapshot):
+            raise FileNotFoundError(f"cannot resume: {snapshot} not found")
+        args.config = snapshot
     config = get_config(args.config)
     logger = get_logger("si_mamba_tpu",
                         os.path.join(args.experiment_path,
                                      f"{time.strftime('%Y%m%d_%H%M%S')}.log"))
-    save_experiment_config(config, os.path.join(args.experiment_path, "config.yaml"))
+    if args.resume:
+        print_log(f"[RESUME] config re-read from {snapshot}", logger)
+    else:
+        save_experiment_config(config, snapshot)
     _archive_source(args.experiment_path)
     np.random.seed(args.seed)
 

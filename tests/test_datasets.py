@@ -107,3 +107,43 @@ def test_modelnet_fewshot(tmp_path):
 def test_build_dataset_unknown():
     with pytest.raises(KeyError):
         build_dataset("NopeDataset")
+
+
+def test_prepare_data_synthetic_loads_everywhere(tmp_path):
+    """scripts/prepare_data.py --synthetic writes trees every dataset class
+    can actually load (the real-data-readiness path, reference README.md
+    dataset section)."""
+    import subprocess
+    import sys
+
+    root = tmp_path / "data"
+    r = subprocess.run(
+        [sys.executable, "scripts/prepare_data.py", "--synthetic", "--check",
+         "--root", str(root), "--npoints", "128", "--n-train", "3",
+         "--n-test", "1"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert "ALL PRESENT" in r.stdout, r.stdout + r.stderr
+
+    mn = root / "ModelNet" / "modelnet40_normal_resampled"
+    ds = ModelNet(str(mn), subset="train", npoints=64, num_category=40)
+    pts, label = ds[0]
+    assert pts.shape == (64, 3)
+
+    so = ScanObjectNN(str(root / "ScanObjectNN" / "main_split"), subset="train")
+    pts, label = so[0]
+    assert pts.shape[-1] == 3 and 0 <= label < 15
+
+    sn = ShapeNet55(str(root / "ShapeNet55-34" / "ShapeNet-55"),
+                    str(root / "ShapeNet55-34" / "shapenet_pc"),
+                    subset="train", npoints=64)
+    pts, _ = sn[0]
+    assert pts.shape == (64, 3)
+
+    from si_mamba_tpu.data.shapenetpart import PartNormalDataset
+
+    sp = PartNormalDataset(
+        str(root / "shapenetcore_partanno_segmentation_benchmark_v0_normal"),
+        npoints=64, split="trainval")
+    pts, cls_idx, seg = sp[0]
+    assert pts.shape == (64, 3) and seg.shape == (64,)

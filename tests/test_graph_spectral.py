@@ -140,6 +140,26 @@ def test_subspace_matches_eigh(centers):
     assert align.min() > 0.99, align
 
 
+def test_subspace_ordering_neutrality(centers):
+    """Accuracy-neutrality of the MXU-only subspace solver as a training
+    config (spectral_method='subspace'): the SAST traversal orders it
+    produces agree >=99% position-wise with the exact-eigh orders."""
+    from si_mamba_tpu.ops.spectral import (
+        sort_orders_by_eigenvectors, topk_smallest_subspace)
+
+    A = knn_adjacency(centers, k=5, symmetric=True, binary=True)
+    L = rw_laplacian(A)
+    _, vecs_e, _, _ = topk_eigh(L, 4, smallest=True)
+    _, vecs_s = topk_smallest_subspace(L, 4, iters=60)
+    # sign-align each eigenvector before comparing orders (sign is a gauge;
+    # the model's sort direction flips with it, equivalently for training)
+    sign = jnp.sign(jnp.einsum("bnk,bnk->bk", vecs_e, vecs_s))
+    ord_e = np.asarray(sort_orders_by_eigenvectors(vecs_e))
+    ord_s = np.asarray(sort_orders_by_eigenvectors(vecs_s * sign[:, None, :]))
+    agree = (ord_e == ord_s).mean()
+    assert agree >= 0.99, agree
+
+
 def test_point_mamba_subspace_method():
     import dataclasses
 

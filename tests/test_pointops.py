@@ -116,3 +116,31 @@ def test_set_abstraction(clouds):
     mlp = lambda g: g.sum(-1, keepdims=True) * jnp.ones((1, 1, 1, 7))
     new_xyz, new_f = set_abstraction(jnp.asarray(clouds), feats, 16, 0.8, 8, mlp)
     assert new_xyz.shape == (2, 16, 3) and new_f.shape == (2, 16, 7)
+
+
+def test_set_abstraction_msg(clouds):
+    """MSG semantics vs reference PointNetSetAbstractionMsg (part_segmentation/
+    models/pointnet2_utils.py:200-259): shared FPS centroids, per-scale ball
+    query + MLP + max-pool, concat over scales; grouping concat order is
+    [features, centered-xyz]."""
+    from si_mamba_tpu.ops.pointops import (
+        ball_query, fps, gather_points, group_points, set_abstraction_msg)
+
+    pts = jnp.asarray(clouds)
+    feats = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal((2, 64, 5)).astype(np.float32))
+    mlps = [lambda g: g * jnp.ones((1, 1, 1, g.shape[-1])),
+            lambda g: g[..., :2] * 2.0]
+    new_xyz, new_f = set_abstraction_msg(
+        pts, feats, 16, [0.4, 0.9], [4, 8], mlps)
+    assert new_xyz.shape == (2, 16, 3)
+    assert new_f.shape == (2, 16, 8 + 2)  # (3+5) + 2 channels
+
+    # centroids are the same shared FPS set, scale 0 reproduces manually
+    np.testing.assert_allclose(new_xyz, gather_points(pts, fps(pts, 16)))
+    idx0 = ball_query(new_xyz, pts, 0.4, 4)
+    g0 = jnp.concatenate([group_points(feats, idx0),
+                          group_points(pts, idx0) - new_xyz[:, :, None, :]],
+                         axis=-1)
+    np.testing.assert_allclose(new_f[..., :8], jnp.max(mlps[0](g0), axis=2),
+                               rtol=1e-6)
