@@ -52,6 +52,11 @@ def _scan_fwd_subblocks(a, b, h0, *, T: int, S: int):
     n, _, BD = a.shape
     h = h0
     parts = []
+    if S == 1:  # fully sequential: T fma steps on (n, 1, BD) slices
+        for t in range(T):
+            h = a[:, t, :] * h + b[:, t, :]
+            parts.append(h[:, None, :])
+        return jnp.concatenate(parts, axis=1), h
     for s0 in range(0, T, S):
         a_s = a[:, s0 : s0 + S, :]
         b_s = b[:, s0 : s0 + S, :]
@@ -82,6 +87,11 @@ def _scan_rev_subblocks(af, q, dh0, *, T: int, S: int):
     n, _, BD = af.shape
     carry = dh0
     parts = []
+    if S == 1:  # fully sequential reverse: T fma steps right-to-left
+        for t in range(T - 1, -1, -1):
+            carry = q[:, t, :] + af[:, t, :] * carry
+            parts.insert(0, carry[:, None, :])
+        return jnp.concatenate(parts, axis=1), carry
     for s0 in range(T - S, -1, -S):
         a_s = af[:, s0 : s0 + S, :]
         q_s = q[:, s0 : s0 + S, :]
@@ -331,26 +341,30 @@ def _block_d_for(d, block_d):
     return bd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
-                           block_d=384, chunk=128, interpret=False):
-    y, _ = _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret)
+                           block_d=384, chunk=128, interpret=False,
+                           sub_block=8):
+    y, _ = _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk,
+                    interpret, sub_block)
     return y
 
 
-def _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret):
+def _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret,
+             sub_block=8):
     u_p, dt_p, B_p, C_p, z_p, chunk, L = _prep_args(u, delta, B, C, z, chunk)
     bd = _block_d_for(u.shape[-1], block_d)
     Bt = jnp.swapaxes(B_p, 1, 2)
     Ct = jnp.swapaxes(C_p, 1, 2)
     At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
     y, h_entries = _pallas_scan_fwd(u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias,
-                                    block_d=bd, chunk=chunk, interpret=interpret)
+                                    block_d=bd, chunk=chunk, interpret=interpret,
+                                    sub_block=sub_block)
     res = (u, delta, A, B, C, D, z, delta_bias, h_entries)
     return y[:, :L], res
 
 
-def _vjp_bwd(block_d, chunk, interpret, res, g):
+def _vjp_bwd(block_d, chunk, interpret, sub_block, res, g):
     u, delta, A, B, C, D, z, delta_bias, h_entries = res
     Bb, L, d = u.shape
     u_p, dt_p, B_p, C_p, z_p, chunk_e, _ = _prep_args(u, delta, B, C, z, chunk)
@@ -367,7 +381,7 @@ def _vjp_bwd(block_d, chunk, interpret, res, g):
     At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
     (dx, ddt, dz, dBp, dCp, dAp, dDp, ddtbp) = _pallas_scan_bwd(
         u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias, g_p, h_entries,
-        block_d=bd, chunk=chunk_e, interpret=interpret)
+        block_d=bd, chunk=chunk_e, interpret=interpret, sub_block=sub_block)
     du = dx[:, :L].astype(u.dtype)
     ddelta = ddt[:, :L].astype(delta.dtype)
     dz_out = dz[:, :L].astype(z.dtype)
@@ -384,7 +398,8 @@ _selective_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                           delta_softplus: bool = True, *, block_d: int = 384,
-                          chunk: int = 128, interpret: bool = False):
+                          chunk: int = 128, interpret: bool = False,
+                          sub_block: int = 8):
     """Drop-in for ``selective_scan`` with fused Pallas forward AND backward.
 
     The fused kernels fold softplus(dt+bias), ZOH discretization, the scan,
@@ -396,4 +411,4 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
             "pallas path implements the full fused mamba scan "
             "(delta_softplus + D + z + delta_bias)")
     return _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
-                                  block_d, chunk, interpret)
+                                  block_d, chunk, interpret, sub_block)

@@ -241,7 +241,14 @@ def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
     routing to the scan-only kernel. Other impls compose causal_conv1d +
     XLA projections + ``selective_scan``.
     """
-    xz = x @ params["in_proj_w"]  # (B, L, 2*d_inner)
+    # Mixed precision: matmul weights are cast to the ACTIVATION dtype so a
+    # bf16 model config actually engages the MXU's bf16 path and halves the
+    # (B, L, d_inner) HBM traffic between ops. The recurrence itself is
+    # unaffected: A/D/dt_bias stay fp32 and every scan impl computes the
+    # state in fp32 regardless of input dtype.
+    cdt = x.dtype
+    wcast = (lambda w: w.astype(cdt)) if cdt != jnp.float32 else (lambda w: w)
+    xz = x @ wcast(params["in_proj_w"])  # (B, L, 2*d_inner)
     d_inner = xz.shape[-1] // 2
     if impl in ("fused", "fused_interpret"):
         from si_mamba_tpu.ops.pallas.fused_mixer_kernel import fused_mamba_mixer
@@ -254,12 +261,13 @@ def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
             interpret=(impl == "fused_interpret"))
         return y @ params["out_proj_w"]
     xi, z = xz[..., :d_inner], xz[..., d_inner:]
-    xi = causal_conv1d(xi, params["conv_w"], params["conv_b"], activation="silu")
-    x_dbl = xi @ params["x_proj_w"]  # (B, L, dt_rank + 2n)
-    dt = x_dbl[..., :dt_rank] @ params["dt_proj_w"]  # (B, L, d_inner)
+    xi = causal_conv1d(xi, wcast(params["conv_w"]), wcast(params["conv_b"]),
+                       activation="silu")
+    x_dbl = xi @ wcast(params["x_proj_w"])  # (B, L, dt_rank + 2n)
+    dt = x_dbl[..., :dt_rank] @ wcast(params["dt_proj_w"])  # (B, L, d_inner)
     Bc = x_dbl[..., dt_rank : dt_rank + d_state]
     Cc = x_dbl[..., dt_rank + d_state :]
     A = -jnp.exp(params["A_log"].astype(jnp.float32))
     y = selective_scan(xi, dt, A, Bc, Cc, D=params["D"], z=z,
                        delta_bias=params["dt_proj_b"], delta_softplus=True, impl=impl)
-    return y @ params["out_proj_w"]
+    return y.astype(cdt) @ wcast(params["out_proj_w"])

@@ -91,6 +91,38 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+def test_train_step_reduces_loss_bf16():
+    """The bf16 mixed-precision config (activations + matmul weights bf16,
+    fp32 params/state/scan) trains: loss decreases on the same toy task.
+    This is the bench/perf configuration (dtype='bfloat16')."""
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState, make_classifier_train_step
+
+    cfg = PointMambaConfig(trans_dim=32, depth=2, cls_dim=4, group_size=8,
+                           num_group=16, encoder_dims=32, knn_graph=4,
+                           drop_path=0.0, drop_out=0.0, dtype="bfloat16")
+    model = PointMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((16, 64, 3)).astype(np.float32)
+    labels = (pts[:, :, 0].mean(-1) > 0).astype(np.int32) + 2 * (
+        pts[:, :, 1].mean(-1) > 0).astype(np.int32)
+
+    variables = model.init(jax.random.key(0), jnp.asarray(pts[:2]), train=False)
+    # params stay fp32 under mixed precision
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(variables["params"]))
+    tx, _ = build_optimizer(variables["params"], lr=1e-3, epochs=10,
+                            warmup_epochs=0, steps_per_epoch=1)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = jax.jit(make_classifier_train_step(model), donate_argnums=(0,))
+    losses = []
+    for i in range(8):
+        state, m = step(state, jnp.asarray(pts), jnp.asarray(labels),
+                        jax.random.key(5))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+
+
 def test_two_axis_mesh_train_step():
     """Train step over a ('data', 'model') mesh with the model axis idle —
     the round-2 tensor-parallel plumbing compiles and runs today."""
