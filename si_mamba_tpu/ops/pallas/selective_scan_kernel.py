@@ -113,7 +113,7 @@ def _scan_rev_subblocks(af, q, dh0, *, T: int, S: int):
 
 
 def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
-                y_ref, hent_ref, h_ref, *, T: int, S: int):
+                y_ref, hent_ref, ypre_ref, h_ref, *, T: int, S: int):
     n, BD = a_ref.shape
     c = pl.program_id(2)
 
@@ -141,6 +141,9 @@ def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
 
     y_c = jnp.sum(c_c[:, :, None] * hs, axis=0)  # (T, BD)
     y_c = y_c + Dp[None, :] * x_c
+    # pre-gate y is a residual for the backward: dz needs it, and saving it
+    # here lets the bwd kernel skip re-contracting C against the states
+    ypre_ref[0] = y_c.astype(ypre_ref.dtype)
     z_c = z_ref[0].astype(jnp.float32)
     y_ref[0] = (y_c * (z_c * jax.nn.sigmoid(z_c))).astype(y_ref.dtype)
 
@@ -157,7 +160,7 @@ def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
     ld = lambda i, j, c: (i, c, j)
     ln = lambda i, j, c: (i, 0, c)
 
-    y, h_entries = pl.pallas_call(
+    y, h_entries, y_pre = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -174,15 +177,17 @@ def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
             pl.BlockSpec((1, chunk, block_d), ld, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n, block_d), lambda i, j, c: (i, c, 0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, block_d), ld, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
             jax.ShapeDtypeStruct((Bb, nchunks, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
         interpret=interpret,
     )(x, dt, Bt, Ct, z, At, D[None, :], dt_bias[None, :])
-    return y, h_entries
+    return y, h_entries, y_pre
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +195,7 @@ def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
-                g_ref, hent_ref,
+                g_ref, hent_ref, ypre_ref,
                 dx_ref, ddt_ref, dz_ref, db_ref, dc_ref, da_ref, dd_ref,
                 ddtb_ref, dh_ref, *, T: int, S: int):
     n, BD = a_ref.shape
@@ -222,7 +227,8 @@ def _bwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
     # ---- gate/output grads --------------------------------------------
     sig = jax.nn.sigmoid(z_c)
     silu = z_c * sig
-    y0 = jnp.sum(c_c[:, :, None] * hs, axis=0) + Dp[None, :] * x_c
+    # y0 comes from the forward's y_pre residual — no C-contraction redo
+    y0 = ypre_ref[0].astype(jnp.float32)
     dz_ref[0] = (g_c * y0 * (sig * (1.0 + z_c * (1.0 - sig)))).astype(dz_ref.dtype)
     gy = g_c * silu  # (T, BD)
 
@@ -255,7 +261,7 @@ def _bwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
     ddtb_ref[0, 0] = jnp.sum(ddt_raw, axis=0)[None, :]  # (1, BD)
 
 
-def _pallas_scan_bwd(x, dt, Bt, Ct, z, At, D, dt_bias, g, h_entries, *,
+def _pallas_scan_bwd(x, dt, Bt, Ct, z, At, D, dt_bias, g, h_entries, y_pre, *,
                      block_d: int, chunk: int, interpret: bool, sub_block: int = 8):
     Bb, L, d = x.shape
     n = At.shape[0]
@@ -287,6 +293,7 @@ def _pallas_scan_bwd(x, dt, Bt, Ct, z, At, D, dt_bias, g, h_entries, *,
             pl.BlockSpec((1, 1, n, block_d),
                          lambda i, j, c: (i, nchunks - 1 - c, 0, j),
                          memory_space=pltpu.VMEM),  # h_entries
+            pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # y_pre
         ],
         out_specs=(
             pl.BlockSpec((1, chunk, block_d), rd, memory_space=pltpu.VMEM),  # dx
@@ -299,9 +306,13 @@ def _pallas_scan_bwd(x, dt, Bt, Ct, z, At, D, dt_bias, g, h_entries, *,
             pl.BlockSpec((1, 1, 1, block_d), rpart_1BD, memory_space=pltpu.VMEM),  # ddtb part
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Bb, L, d), jnp.float32),
-            jax.ShapeDtypeStruct((Bb, L, d), jnp.float32),
-            jax.ShapeDtypeStruct((Bb, L, d), jnp.float32),
+            # dense grads leave the kernel in the INPUT dtypes (the kernel
+            # computes fp32 and casts at the store) — in bf16 mixed
+            # precision this halves dx/ddt/dz HBM writes and removes the
+            # XLA-side convert passes entirely
+            jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
+            jax.ShapeDtypeStruct((Bb, L, d), dt.dtype),
+            jax.ShapeDtypeStruct((Bb, L, d), z.dtype),
             jax.ShapeDtypeStruct((Bb, ndb, n, L), jnp.float32),
             jax.ShapeDtypeStruct((Bb, ndb, n, L), jnp.float32),
             jax.ShapeDtypeStruct((Bb, nchunks, n, d), jnp.float32),
@@ -310,7 +321,7 @@ def _pallas_scan_bwd(x, dt, Bt, Ct, z, At, D, dt_bias, g, h_entries, *,
         ),
         scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
         interpret=interpret,
-    )(x, dt, Bt, Ct, z, At, D[None, :], dt_bias[None, :], g, h_entries)
+    )(x, dt, Bt, Ct, z, At, D[None, :], dt_bias[None, :], g, h_entries, y_pre)
     return outs
 
 
@@ -357,20 +368,24 @@ def _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret,
     Bt = jnp.swapaxes(B_p, 1, 2)
     Ct = jnp.swapaxes(C_p, 1, 2)
     At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
-    y, h_entries = _pallas_scan_fwd(u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias,
-                                    block_d=bd, chunk=chunk, interpret=interpret,
-                                    sub_block=sub_block)
-    res = (u, delta, A, B, C, D, z, delta_bias, h_entries)
+    y, h_entries, y_pre = _pallas_scan_fwd(u_p, dt_p, Bt, Ct, z_p, At, D,
+                                           delta_bias, block_d=bd, chunk=chunk,
+                                           interpret=interpret,
+                                           sub_block=sub_block)
+    res = (u, delta, A, B, C, D, z, delta_bias, h_entries, y_pre)
     return y[:, :L], res
 
 
 def _vjp_bwd(block_d, chunk, interpret, sub_block, res, g):
-    u, delta, A, B, C, D, z, delta_bias, h_entries = res
+    u, delta, A, B, C, D, z, delta_bias, h_entries, y_pre = res
     Bb, L, d = u.shape
     u_p, dt_p, B_p, C_p, z_p, chunk_e, _ = _prep_args(u, delta, B, C, z, chunk)
-    g_p = jnp.pad(g.astype(jnp.float32),
-                  ((0, 0), (0, u_p.shape[1] - L), (0, 0))) \
-        if u_p.shape[1] != L else g.astype(jnp.float32)
+    # g stays in its native dtype — the kernel casts at load; converting to
+    # f32 here would add a full (B, L, d) read+write pass in bf16 mode
+    # y_pre was produced at the PADDED length by the fwd kernel; only g needs
+    # padding here
+    g_p = jnp.pad(g, ((0, 0), (0, u_p.shape[1] - L), (0, 0))) \
+        if u_p.shape[1] != L else g
     # the backward keeps ~8 live (n, T, BD) fp32 arrays — halve BD vs the
     # forward so they fit VMEM without spilling
     # with S-sub-block scans the live (n, T, BD) set shrank enough to run the
@@ -380,7 +395,7 @@ def _vjp_bwd(block_d, chunk, interpret, sub_block, res, g):
     Ct = jnp.swapaxes(C_p, 1, 2)
     At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
     (dx, ddt, dz, dBp, dCp, dAp, dDp, ddtbp) = _pallas_scan_bwd(
-        u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias, g_p, h_entries,
+        u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias, g_p, h_entries, y_pre,
         block_d=bd, chunk=chunk_e, interpret=interpret, sub_block=sub_block)
     du = dx[:, :L].astype(u.dtype)
     ddelta = ddt[:, :L].astype(delta.dtype)
