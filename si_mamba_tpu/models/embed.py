@@ -45,20 +45,20 @@ class PatchEncoder(nn.Module):
         # — and flat matmuls map straight onto the MXU anyway.
         x = point_groups.astype(self.dtype).reshape(B * G, n, 3)
         # first_conv: 3 -> 128 -> BN -> ReLU -> 256
-        x = nn.Dense(128, kernel_init=trunc_normal_init(), name="conv1")(x)
+        x = nn.Dense(128, kernel_init=trunc_normal_init(), name="conv1", dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=mom, epsilon=1e-5,
                          name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dense(256, kernel_init=trunc_normal_init(), name="conv2")(x)
+        x = nn.Dense(256, kernel_init=trunc_normal_init(), name="conv2", dtype=self.dtype)(x)
         # global per-group feature, concat back per point
         g = jnp.max(x, axis=1, keepdims=True)  # (BG, 1, 256)
         x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (BG, n, 512)
         # second_conv: 512 -> 512 -> BN -> ReLU -> C
-        x = nn.Dense(512, kernel_init=trunc_normal_init(), name="conv3")(x)
+        x = nn.Dense(512, kernel_init=trunc_normal_init(), name="conv3", dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=mom, epsilon=1e-5,
                          name="bn2", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.encoder_channel, kernel_init=trunc_normal_init(), name="conv4")(x)
+        x = nn.Dense(self.encoder_channel, kernel_init=trunc_normal_init(), name="conv4", dtype=self.dtype)(x)
         return jnp.max(x, axis=1).reshape(B, G, self.encoder_channel)
 
 
@@ -71,9 +71,9 @@ class PosEmbedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden, kernel_init=trunc_normal_init(), name="fc1")(xyz.astype(self.dtype))
+        x = nn.Dense(self.hidden, kernel_init=trunc_normal_init(), name="fc1", dtype=self.dtype)(xyz.astype(self.dtype))
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out_dim, kernel_init=trunc_normal_init(), name="fc2")(x)
+        return nn.Dense(self.out_dim, kernel_init=trunc_normal_init(), name="fc2", dtype=self.dtype)(x)
 
 
 class ClsHead(nn.Module):
@@ -89,9 +89,9 @@ class ClsHead(nn.Module):
                  bn_momentum=None) -> jax.Array:
         mom = 0.9 if bn_momentum is None else bn_momentum
         for i in range(2):
-            x = nn.Dense(self.hidden, kernel_init=trunc_normal_init(), name=f"fc{i+1}")(x)
+            x = nn.Dense(self.hidden, kernel_init=trunc_normal_init(), name=f"fc{i+1}", dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=mom, epsilon=1e-5,
                              name=f"bn{i+1}", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Dropout(self.drop)(x, deterministic=not train)
-        return nn.Dense(self.cls_dim, kernel_init=trunc_normal_init(), name="out")(x)
+        return nn.Dense(self.cls_dim, kernel_init=trunc_normal_init(), name="out", dtype=self.dtype)(x)

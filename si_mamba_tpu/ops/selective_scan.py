@@ -261,8 +261,13 @@ def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
             interpret=(impl == "fused_interpret"))
         return y @ params["out_proj_w"]
     xi, z = xz[..., :d_inner], xz[..., d_inner:]
-    xi = causal_conv1d(xi, wcast(params["conv_w"]), wcast(params["conv_b"]),
-                       activation="silu")
+    if impl in ("pallas", "auto") and jax.default_backend() == "tpu":
+        from si_mamba_tpu.ops.pallas.causal_conv_kernel import causal_conv1d_silu_pallas
+
+        xi = causal_conv1d_silu_pallas(xi, params["conv_w"], params["conv_b"])
+    else:
+        xi = causal_conv1d(xi, wcast(params["conv_w"]), wcast(params["conv_b"]),
+                           activation="silu")
     x_dbl = xi @ wcast(params["x_proj_w"])  # (B, L, dt_rank + 2n)
     dt = x_dbl[..., :dt_rank] @ wcast(params["dt_proj_w"])  # (B, L, d_inner)
     Bc = x_dbl[..., dt_rank : dt_rank + d_state]

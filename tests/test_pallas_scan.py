@@ -117,3 +117,28 @@ def test_pallas_fuzz_grads_interpret():
     for a, b_ in zip(gp, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3,
                                    atol=2e-4)
+
+
+def test_pallas_causal_conv_matches_oracle():
+    """Fused conv+SiLU Pallas kernel (fwd + full VJP) vs the XLA
+    shifted-multiply oracle (ops/selective_scan.py:33), interpret mode."""
+    from si_mamba_tpu.ops.pallas.causal_conv_kernel import causal_conv1d_silu_pallas
+    from si_mamba_tpu.ops.selective_scan import causal_conv1d
+
+    rng = np.random.default_rng(11)
+    for B, L, D in [(2, 250, 128), (1, 64, 256)]:
+        x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((D, 4)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+
+        y_ref, vjp_ref = jax.vjp(
+            lambda x, w, b: causal_conv1d(x, w, b, activation="silu"), x, w, bias)
+        y_p, vjp_p = jax.vjp(
+            lambda x, w, b: causal_conv1d_silu_pallas(x, w, b, interpret=True),
+            x, w, bias)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b_ in zip(vjp_p(g), vjp_ref(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)

@@ -62,3 +62,30 @@ def test_pallas_native_all_grads_match_seq():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(a - b) / (np.abs(b) + 1e-2 * np.abs(b).max() + 1e-8)
         assert rel.max() < 3e-4, (name, rel.max())
+
+
+def test_pallas_native_causal_conv_matches_oracle():
+    from si_mamba_tpu.ops.pallas.causal_conv_kernel import causal_conv1d_silu_pallas
+    from si_mamba_tpu.ops.selective_scan import causal_conv1d
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 512, 768)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((768, 4)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(768).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 512, 768)).astype(np.float32))
+
+    y_ref, vjp_ref = jax.vjp(
+        lambda x, w, b: causal_conv1d(x, w, b, activation="silu"), x, w, bias)
+
+    @jax.jit
+    def run(x, w, b, g):
+        y, vjp = jax.vjp(causal_conv1d_silu_pallas, x, w, b)
+        return (y,) + vjp(g)
+
+    outs = run(x, w, bias, g)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b_ in zip(outs[1:], vjp_ref(g)):
+        rel = np.abs(np.asarray(a) - np.asarray(b_)) / (
+            np.abs(np.asarray(b_)).max() + 1e-8)
+        assert rel.max() < 1e-4, rel.max()
