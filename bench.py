@@ -115,8 +115,9 @@ def main():
             slat.append((time.perf_counter() - t0) / K_STEPS)
         return float(np.median(slat) * 1e3)
 
-    spectral_p50_ms = spectral_p50(cfg)
     import dataclasses
+    spectral_p50_ms = spectral_p50(
+        dataclasses.replace(cfg, spectral_method="eigh"))
     spectral_subspace_p50_ms = spectral_p50(
         dataclasses.replace(cfg, spectral_method="subspace"))
 
@@ -127,7 +128,8 @@ def main():
     def multi_eval(v, p):
         def body(acc, _):
             logits = model.apply(v, p + acc * 1e-30, train=False)
-            return jnp.sum(logits), jnp.sum(logits)
+            s = jnp.sum(logits).astype(jnp.float32)
+            return s, s
 
         _, outs = lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))
         return outs
