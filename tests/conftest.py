@@ -17,7 +17,32 @@ if os.environ.get("SI_MAMBA_TPU_TESTS") != "1":
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 if os.environ.get("SI_MAMBA_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# Compile-heavy tests (>~30 s each; full-size parity, end-to-end runners,
+# multi-step training) — `pytest -m 'not slow'` is the quick loop (~8 min),
+# the full suite (~27 min) stays the merge gate.
+_SLOW = {
+    "test_seg_forward_shapes", "test_seg_train_grads",
+    "test_mae_train_step_on_mesh", "test_finetune_mini_run",
+    "test_finetune_run_multichip_and_resume", "test_seg_run_multichip",
+    "test_pretrain_run_multichip",
+    "test_point_mae_legacy_mamba_method", "test_point_mae_train_backward",
+    "test_point_mae_vis_output",
+    "test_full_pointmamba_logits_match_torch_oracle",
+    "test_full_point_mae_loss_matches_torch_oracle",
+    "test_train_step_reduces_loss", "test_train_step_reduces_loss_bf16",
+    "test_dryrun_multichip_8dev", "test_point_mamba_train_grads",
+    "test_golden_mae_loss", "test_golden_point_mamba_logits",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW:
+            item.add_marker(pytest.mark.slow)
