@@ -1,3 +1,4 @@
+from si_mamba_tpu.parallel.pipeline import pipeline_mixer_apply, stack_mixer_params
 from si_mamba_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -9,4 +10,5 @@ from si_mamba_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
-           "replicate", "dp_train_jit", "dp_eval_jit"]
+           "replicate", "dp_train_jit", "dp_eval_jit",
+           "pipeline_mixer_apply", "stack_mixer_params"]
