@@ -146,7 +146,11 @@ def main():
         "metric": "modelnet40_train_clouds_per_sec_per_chip",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/s",
-        "vs_baseline": round(clouds_per_sec / CPU_BASELINE_CLOUDS_PER_SEC, 1),
+        # vs_baseline keeps the BENCH_r01 semantic (vs the reference GPU's
+        # 140 clouds/s) for cross-round comparability; the CPU multiple is
+        # vs_cpu_baseline below (CPU measured at the fp32+eigh parity
+        # config — see scripts/measure_cpu_baseline.py)
+        "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
         "extra": {
             "train_step_ms": round(dt * 1e3, 2),
             "vs_cpu_baseline": round(clouds_per_sec / CPU_BASELINE_CLOUDS_PER_SEC, 1),

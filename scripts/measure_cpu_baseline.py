@@ -1,10 +1,15 @@
 """Measure the CPU-baseline training throughput the perf target is defined
 against (BASELINE.json: ">=5x CPU-baseline clouds/sec/chip").
 
-Runs the IDENTICAL bench workload (ModelNet40 config, B=32, N=1024, SAST,
-12 layers, d=384 — same as bench.py) on the JAX CPU backend and prints one
-JSON line. The measured number is recorded as ``CPU_BASELINE_CLOUDS_PER_SEC``
-in bench.py; re-run this script to refresh it.
+Runs the bench workload shapes (ModelNet40 config, B=32, N=1024, SAST,
+12 layers, d=384) at the PARITY configuration — fp32 + exact eigh, the
+PointMambaConfig defaults — on the JAX CPU backend and prints one JSON
+line. Note bench.py additionally enables the accuracy-neutral perf config
+on TPU (bf16 mixed precision + subspace eigensolver), so vs_cpu_baseline
+compounds hardware speedup with those algorithm choices; vs_ref_gpu is the
+like-for-like model comparison. The measured number is recorded as
+``CPU_BASELINE_CLOUDS_PER_SEC`` in bench.py; re-run this script to refresh
+it.
 
 Usage:  python scripts/measure_cpu_baseline.py [--steps 3]
 """

@@ -69,50 +69,75 @@ def check_tree(root: str) -> bool:
     good = True
     mn = os.path.join(root, "ModelNet", "modelnet40_normal_resampled")
     if os.path.isdir(mn):
+        present = True
         for f in ("modelnet40_shape_names.txt", "modelnet40_train.txt",
                   "modelnet40_test.txt"):
             p = os.path.join(mn, f)
-            good &= os.path.isfile(p) or _missing(p)
-        names = open(os.path.join(mn, "modelnet40_shape_names.txt")).read().split()
-        sample = open(os.path.join(mn, "modelnet40_train.txt")).readline().strip()
-        cls = "_".join(sample.split("_")[:-1])
-        pc = os.path.join(mn, cls, sample + ".txt")
-        if os.path.isfile(pc):
-            row = np.loadtxt(pc, delimiter=",", max_rows=1)
-            assert row.shape[-1] == 6, f"{pc}: expect xyz+normal csv rows"
-            _ok(f"ModelNet40: {len(names)} classes, sample {sample} parses")
-        else:
-            good = _missing(pc)
+            ok = os.path.isfile(p)
+            present &= ok
+            good &= ok or _missing(p)
+        # spot-check a sample from EACH split's list (guarded: never crash
+        # on a partial tree — report [MISSING]/[BAD] instead)
+        if present:
+            names = open(os.path.join(mn, "modelnet40_shape_names.txt")).read().split()
+            for split in ("train", "test"):
+                sample = open(os.path.join(
+                    mn, f"modelnet40_{split}.txt")).readline().strip()
+                cls = "_".join(sample.split("_")[:-1])
+                pc = os.path.join(mn, cls, sample + ".txt")
+                if not os.path.isfile(pc):
+                    good = _missing(pc)
+                    continue
+                try:
+                    row = np.loadtxt(pc, delimiter=",", max_rows=1)
+                    assert row.shape[-1] == 6
+                    _ok(f"ModelNet40 ({split}): {len(names)} classes, "
+                        f"sample {sample} parses")
+                except Exception as e:
+                    print(f"  [BAD] {pc}: expected xyz+normal csv rows ({e})")
+                    good = False
     else:
         good = _missing(f"{mn} ({MANUAL_SOURCES['ModelNet']})")
 
     so = os.path.join(root, "ScanObjectNN")
-    for split, fname in (("main_split", "training_objectdataset_augmentedrot_scale75.h5"),
-                         ("main_split", "training_objectdataset.h5"),
-                         ("main_split_nobg", "training_objectdataset.h5")):
-        p = os.path.join(so, split, fname)
-        if os.path.isfile(p):
-            import h5py
+    for split, sub in (("main_split", "training"), ("main_split", "test"),
+                       ("main_split_nobg", "training"), ("main_split_nobg", "test")):
+        fnames = [f"{sub}_objectdataset.h5"]
+        if split == "main_split":
+            fnames.append(f"{sub}_objectdataset_augmentedrot_scale75.h5")
+        for fname in fnames:
+            p = os.path.join(so, split, fname)
+            if os.path.isfile(p):
+                import h5py
 
-            with h5py.File(p, "r") as f:
-                assert "data" in f and "label" in f, f"{p}: expect data/label keys"
-            _ok(f"ScanObjectNN {split}/{fname}: h5 keys present")
-        else:
-            good = _missing(f"{p} ({MANUAL_SOURCES['ScanObjectNN']})")
+                try:
+                    with h5py.File(p, "r") as f:
+                        assert "data" in f and "label" in f
+                    _ok(f"ScanObjectNN {split}/{fname}: h5 keys present")
+                except Exception as e:
+                    print(f"  [BAD] {p}: expected data/label h5 keys ({e})")
+                    good = False
+            else:
+                good = _missing(f"{p} ({MANUAL_SOURCES['ScanObjectNN']})")
 
     sn = os.path.join(root, "ShapeNet55-34")
-    lst = os.path.join(sn, "ShapeNet-55", "train.txt")
-    if os.path.isfile(lst):
-        first = open(lst).readline().strip()
-        npy = os.path.join(sn, "shapenet_pc", first)
-        if os.path.isfile(npy):
-            arr = np.load(npy)
-            assert arr.ndim == 2 and arr.shape[1] == 3
-            _ok(f"ShapeNet55: {first} -> {arr.shape}")
+    for split in ("train", "test"):
+        lst = os.path.join(sn, "ShapeNet-55", f"{split}.txt")
+        if os.path.isfile(lst):
+            first = open(lst).readline().strip()
+            npy = os.path.join(sn, "shapenet_pc", first)
+            if not os.path.isfile(npy):
+                good = _missing(npy)
+                continue
+            try:
+                arr = np.load(npy)
+                assert arr.ndim == 2 and arr.shape[1] == 3
+                _ok(f"ShapeNet55 ({split}): {first} -> {arr.shape}")
+            except Exception as e:
+                print(f"  [BAD] {npy}: expected (N, 3) npy ({e})")
+                good = False
         else:
-            good = _missing(npy)
-    else:
-        good = _missing(f"{lst} ({MANUAL_SOURCES['ShapeNet55-34']})")
+            good = _missing(f"{lst} ({MANUAL_SOURCES['ShapeNet55-34']})")
 
     sp = os.path.join(root, "shapenetcore_partanno_segmentation_benchmark_v0_normal")
     cat = os.path.join(sp, "synsetoffset2category.txt")

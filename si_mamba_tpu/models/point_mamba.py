@@ -68,6 +68,13 @@ class PointMambaConfig:
         mult = 2 if (self.reverse or self.reverse_2) else 1
         return mult * self.k_top_eigenvectors * self.num_group
 
+    @classmethod
+    def from_dict(cls, d) -> "PointMambaConfig":
+        """Build from a config-model mapping, ignoring non-field keys
+        (NAME, rotation, ...) — the one filter every entry point shares."""
+        return cls(**{k: v for k, v in dict(d).items()
+                      if k in cls.__dataclass_fields__})
+
 
 def spectral_eigvecs(center: jax.Array, cfg: PointMambaConfig) -> tuple[jax.Array, jax.Array]:
     """Graph → Laplacian → top-k eigenpairs for the ordering stage.

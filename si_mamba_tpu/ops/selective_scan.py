@@ -259,7 +259,7 @@ def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
             -jnp.exp(params["A_log"].astype(jnp.float32)), params["D"],
             dt_rank=dt_rank, d_state=d_state,
             interpret=(impl == "fused_interpret"))
-        return y @ params["out_proj_w"]
+        return y.astype(cdt) @ wcast(params["out_proj_w"])
     xi, z = xz[..., :d_inner], xz[..., d_inner:]
     if impl in ("pallas", "auto") and jax.default_backend() == "tpu":
         from si_mamba_tpu.ops.pallas.causal_conv_kernel import causal_conv1d_silu_pallas

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -63,14 +64,40 @@ def dp_train_jit(step_fn, mesh: Mesh, n_batch: int = 2, n_extra: int = 1):
 
 
 def dp_eval_jit(step_fn, mesh: Mesh, n_batch: int = 1, n_extra: int = 0):
-    """Jit an eval/feature step ``(state, *batch, *extra) -> per-example out``:
-    state replicated, batch sharded, output sharded on 'data' (gathered on
-    host readback)."""
+    """Wrap an eval/feature step ``(state, *batch, *extra) -> per-example
+    out`` with explicit DP shardings: state replicated, batch sharded,
+    output sharded on 'data' (gathered on host readback).
+
+    Eval loaders run with ``drop_last=False`` (reference tools/builder.py:
+    24-41), so the FINAL batch of an epoch is usually ragged — and a
+    ``P('data')`` sharding rejects a batch axis not divisible by the mesh.
+    The wrapper therefore pads every batch arg up to the next multiple of
+    the device count (repeating the last row — eval has no cross-example
+    coupling), runs the jitted sharded step, and slices outputs back to the
+    true length. Padding quantizes to at most one extra compiled shape."""
     repl, data = replicated_sharding(mesh), batch_sharding(mesh)
-    return jax.jit(
+    ndev = mesh.devices.size
+    jitted = jax.jit(
         step_fn,
         in_shardings=(repl,) + (data,) * n_batch + (None,) * n_extra,
         out_shardings=data)
+
+    def call(state, *args):
+        batch, extras = args[:n_batch], args[n_batch:]
+        n = np.asarray(batch[0]).shape[0]
+        n_pad = -(-n // ndev) * ndev
+        if n_pad != n:
+            batch = tuple(
+                jnp.concatenate(
+                    [jnp.asarray(b),
+                     jnp.repeat(jnp.asarray(b)[-1:], n_pad - n, axis=0)], 0)
+                for b in batch)
+        out = jitted(state, *batch, *extras)
+        if n_pad != n:
+            out = jax.tree.map(lambda o: o[:n], out)
+        return out
+
+    return call
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:

@@ -209,9 +209,7 @@ def main(argv=None):
 
         test_loader = build_loader(config.dataset.test, args, "test", bs,
                                    shuffle=False, drop_last=False)
-        model_cfg = PointMambaConfig(**{
-            k: v for k, v in config.model.items()
-            if k in PointMambaConfig.__dataclass_fields__})
+        model_cfg = PointMambaConfig.from_dict(config.model)
         model = PointMamba(model_cfg)
         variables = model.init(jax.random.key(0),
                                jnp.zeros((2, int(config.npoints), 3)), train=False)

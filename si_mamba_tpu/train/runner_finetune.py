@@ -71,15 +71,18 @@ def make_train_step(model: PointMamba, npoints: int, rotation: bool):
     return step
 
 
+def _fps_to_npoints(points, npoints: int):
+    """Deterministic eval resampling (reference validate :313-321 —
+    misc.fps with deterministic start); identity when already at npoints."""
+    from si_mamba_tpu.ops.pointops import fps, gather_points
+
+    return gather_points(points, fps(points, npoints)) \
+        if points.shape[1] > npoints else points
+
+
 def make_eval_step(model: PointMamba, npoints: int):
-    """Eval forward: deterministic FPS to npoints (reference validate
-    :313-321 uses misc.fps, deterministic start)."""
-
     def step(state: TrainState, points):
-        from si_mamba_tpu.ops.pointops import fps, gather_points
-
-        pts = gather_points(points, fps(points, npoints)) \
-            if points.shape[1] > npoints else points
+        pts = _fps_to_npoints(points, npoints)
         return model.apply({"params": state.params, "batch_stats": state.batch_stats},
                            pts, train=False)
 
@@ -144,9 +147,7 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
                  logger=None, seed: int = 0):
     """Full finetune loop: epochs × steps, per-epoch validate, best/last
     checkpoints, optional vote protocol above the reference thresholds."""
-    model_cfg = PointMambaConfig(**{
-        k: v for k, v in config.model.items()
-        if k in PointMambaConfig.__dataclass_fields__})
+    model_cfg = PointMambaConfig.from_dict(config.model)
     model = PointMamba(model_cfg)
     npoints = int(config.npoints)
     rotation = bool(config.model.get("rotation", False))
@@ -161,8 +162,10 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
         variables["params"], opt_type=config.optimizer.type,
         lr=float(config.optimizer.kwargs.lr),
         weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
-        epochs=int(config.scheduler.kwargs.epochs),
-        warmup_epochs=int(config.scheduler.kwargs.initial_epochs),
+        # LambdaLR/StepLR configs carry no epochs/initial_epochs keys
+        # (reference tools/builder.py:84-109) — fall back to max_epoch/0
+        epochs=int(config.scheduler.kwargs.get("epochs", config.max_epoch)),
+        warmup_epochs=int(config.scheduler.kwargs.get("initial_epochs", 0)),
         steps_per_epoch=steps_per_epoch,
         grad_clip=float(config.get("grad_norm_clip", 0) or 0) or None,
         sched_type=config.scheduler.type,
@@ -251,19 +254,15 @@ def tsne_run(config, test_loader, state, out_path: str, logger=None):
     tools/runner_finetune.py:573-631): FPS to npoints, forward for the pooled
     pre-head feature, keep labels < cls_dim, then a host-side 2-D t-SNE
     scatter (sklearn stays host/eval-only, like the SVM probe)."""
-    from si_mamba_tpu.ops.pointops import fps, gather_points
     from si_mamba_tpu.utils.visualization import tsne_features
 
-    model_cfg = PointMambaConfig(**{
-        k: v for k, v in config.model.items()
-        if k in PointMambaConfig.__dataclass_fields__})
+    model_cfg = PointMambaConfig.from_dict(config.model)
     model = PointMamba(model_cfg)
     npoints = int(config.npoints)
 
     @jax.jit
     def feat_step(state, points):
-        pts = gather_points(points, fps(points, npoints)) \
-            if points.shape[1] > npoints else points
+        pts = _fps_to_npoints(points, npoints)  # same resampling as eval
         _, feat = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             pts, train=False, return_features=True)
@@ -285,9 +284,7 @@ def test_run(config, test_loader, state_or_variables, vote: bool = False,
              logger=None):
     """Test path (reference test_net :409-467): plain eval or the 300×10
     best-of vote."""
-    model_cfg = PointMambaConfig(**{
-        k: v for k, v in config.model.items()
-        if k in PointMambaConfig.__dataclass_fields__})
+    model_cfg = PointMambaConfig.from_dict(config.model)
     model = PointMamba(model_cfg)
     npoints = int(config.npoints)
     eval_step = jax.jit(make_eval_step(model, npoints))

@@ -115,11 +115,12 @@ def pretrain_run(config, train_loader, svm_loaders, exp_dir: str,
         variables["params"], opt_type=config.optimizer.type,
         lr=float(config.optimizer.kwargs.lr),
         weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
-        epochs=int(config.scheduler.kwargs.epochs),
-        warmup_epochs=int(config.scheduler.kwargs.initial_epochs),
+        epochs=int(config.scheduler.kwargs.get("epochs", config.max_epoch)),
+        warmup_epochs=int(config.scheduler.kwargs.get("initial_epochs", 0)),
         steps_per_epoch=steps_per_epoch,
         grad_clip=float(config.get("grad_norm_clip", 0) or 0) or None,
-        sched_type=config.scheduler.type)
+        sched_type=config.scheduler.type,
+        sched_kwargs=dict(config.scheduler.kwargs))
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
     start_epoch, best = 0, {}

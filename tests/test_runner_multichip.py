@@ -71,6 +71,58 @@ def test_finetune_run_multichip_and_resume(tmp_path):
     assert int(state2.step) == 2 * int(state.step)
 
 
+def test_finetune_run_lambda_lr(tmp_path):
+    """A reference-format LambdaLR config (kwargs carry only decay_step/
+    lr_decay/lowest_decay — no epochs/initial_epochs) must drive the runner
+    (code-review r2 finding #2)."""
+    from si_mamba_tpu.train.runner_finetune import finetune_run
+
+    cfg = _finetune_cfg(0)
+    cfg.scheduler = _to_config(ConfigDict(
+        {"type": "LambdaLR",
+         "kwargs": {"decay_step": 21, "lr_decay": 0.9, "lowest_decay": 0.75}}))
+    ds = _CloudDataset()
+    train = Loader(ds, 8, shuffle=True, drop_last=True)
+    val = Loader(ds, 8, shuffle=False)
+    state, best = finetune_run(cfg, train, val, str(tmp_path), seed=0)
+    assert int(state.step) >= 1
+
+
+def test_dp_eval_ragged_final_batch():
+    """Eval loaders use drop_last=False, so the final batch is usually NOT
+    divisible by the device count — dp_eval_jit must pad/slice instead of
+    crashing on the P('data') sharding (code-review r2 finding #1)."""
+    import jax.numpy as jnp
+
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.parallel import dp_eval_jit, make_mesh, replicate
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.runner_finetune import make_eval_step
+    from si_mamba_tpu.train.train_state import TrainState
+
+    cfg = _finetune_cfg(0)
+    model_cfg = PointMambaConfig(**{
+        k: v for k, v in cfg.model.items()
+        if k in PointMambaConfig.__dataclass_fields__})
+    model = PointMamba(model_cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 1024, 3)), train=False)
+    tx, _ = build_optimizer(variables["params"])
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    state = replicate(state, mesh)
+    eval_step = dp_eval_jit(make_eval_step(model, 1024), mesh)
+
+    pts = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((13, 1024, 3)).astype(np.float32))
+    logits = np.asarray(eval_step(state, pts))
+    assert logits.shape == (13, 4)
+    # padded rows must not affect the real ones
+    logits8 = np.asarray(eval_step(state, pts[:8]))
+    np.testing.assert_allclose(logits[:8], logits8, rtol=2e-5, atol=2e-5)
+
+
 def test_tsne_run(tmp_path):
     """--tsne eval path (reference test_tsne, tools/runner_finetune.py:615-
     631): features -> host t-SNE -> scatter file."""
