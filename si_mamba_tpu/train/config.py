@@ -58,8 +58,20 @@ def merge_new_config(config: dict, new_config: dict, base_dir: str = ".") -> dic
 def cfg_from_yaml_file(path: str, base_dir: str | None = None) -> ConfigDict:
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
+    bd = base_dir or os.path.dirname(os.path.abspath(path))
     cfg = ConfigDict()
-    merge_new_config(cfg, raw, base_dir or os.path.dirname(os.path.abspath(path)))
+    # Extension over the reference: a TOP-LEVEL ``_base_`` inherits the
+    # whole referenced config (parent-merge), so presets like
+    # cfgs/finetune_modelnet_perf.yaml can override a few keys. Subtree
+    # ``_base_`` keys keep the reference's load-into-subtree semantics
+    # (utils/config.py:18-35) so its dataset configs parse unchanged.
+    base_ref = raw.pop("_base_", None)
+    if base_ref is not None:
+        bpath = base_ref if os.path.isabs(base_ref) else os.path.join(bd, base_ref)
+        # resolve the inherited file's own relative _base_ refs against ITS
+        # directory, with get_config's CWD fallback (reference convention)
+        cfg = ConfigDict(get_config(bpath))
+    merge_new_config(cfg, raw, bd)
     return _to_config(cfg)
 
 

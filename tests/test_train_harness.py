@@ -39,6 +39,18 @@ def test_config_base_merge(tmp_path):
     assert cfg.model.NAME == "PointMamba"
 
 
+def test_config_top_level_base_inherits():
+    """Top-level _base_ = whole-config inheritance (preset extension);
+    subtree _base_ keeps the reference load-into-subtree semantics."""
+    cfg = get_config("cfgs/finetune_modelnet_perf.yaml")
+    assert cfg.model.dtype == "bfloat16"
+    assert cfg.model.spectral_method == "subspace"
+    # everything else inherited from cfgs/finetune_modelnet.yaml
+    assert cfg.model.trans_dim == 384 and cfg.model.depth == 12
+    assert cfg.max_epoch == 300 and cfg.scheduler.type == "CosLR"
+    assert cfg.dataset.train._base_.NAME == "ModelNet"
+
+
 def test_reference_configs_parse():
     """The shipped reference YAMLs load unchanged (cfgs/*.yaml)."""
     for name in ["finetune_modelnet.yaml", "pretrain.yaml",
