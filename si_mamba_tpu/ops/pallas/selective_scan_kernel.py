@@ -114,6 +114,8 @@ def _scan_rev_subblocks(af, q, dh0, *, T: int, S: int):
 
 def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
                 y_ref, hent_ref, ypre_ref, h_ref, *, T: int, S: int):
+    """``hent_ref``/``ypre_ref`` are None in the lean inference variant —
+    the primal (no-grad) path skips the backward residual outputs."""
     n, BD = a_ref.shape
     c = pl.program_id(2)
 
@@ -121,8 +123,9 @@ def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
     def _():
         h_ref[:, :] = jnp.zeros((n, BD), jnp.float32)
 
-    # emit the chunk-entry state for the backward recompute
-    hent_ref[0, 0] = h_ref[:, :]
+    if hent_ref is not None:
+        # emit the chunk-entry state for the backward recompute
+        hent_ref[0, 0] = h_ref[:, :]
 
     A = a_ref[:, :][:, None, :]  # (n, 1, BD)
     dtb = dtb_ref[0, :]
@@ -141,26 +144,36 @@ def _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref, dtb_ref,
 
     y_c = jnp.sum(c_c[:, :, None] * hs, axis=0)  # (T, BD)
     y_c = y_c + Dp[None, :] * x_c
-    # pre-gate y is a residual for the backward: dz needs it, and saving it
-    # here lets the bwd kernel skip re-contracting C against the states
-    ypre_ref[0] = y_c.astype(ypre_ref.dtype)
+    if ypre_ref is not None:
+        # pre-gate y is a residual for the backward: dz needs it, and saving
+        # it here lets the bwd kernel skip re-contracting C against the states
+        ypre_ref[0] = y_c.astype(ypre_ref.dtype)
     z_c = z_ref[0].astype(jnp.float32)
     y_ref[0] = (y_c * (z_c * jax.nn.sigmoid(z_c))).astype(y_ref.dtype)
 
 
 def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
-                     chunk: int, interpret: bool, sub_block: int = 8):
+                     chunk: int, interpret: bool, sub_block: int = 8,
+                     emit_residuals: bool = True):
     Bb, L, d = x.shape
     n = At.shape[0]
     nchunks = L // chunk
     ndb = d // block_d
 
-    kernel = functools.partial(_fwd_kernel, T=chunk, S=sub_block)
+    if emit_residuals:
+        kernel = functools.partial(_fwd_kernel, T=chunk, S=sub_block)
+    else:
+        # lean inference variant: same math, no backward-residual outputs
+        def kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref,
+                   dtb_ref, y_ref, h_ref):
+            _fwd_kernel(x_ref, dt_ref, bt_ref, ct_ref, z_ref, a_ref, d_ref,
+                        dtb_ref, y_ref, None, None, h_ref, T=chunk,
+                        S=sub_block)
     grid = (Bb, ndb, nchunks)
     ld = lambda i, j, c: (i, c, j)
     ln = lambda i, j, c: (i, 0, c)
 
-    y, h_entries, y_pre = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -178,16 +191,17 @@ def _pallas_scan_fwd(x, dt, Bt, Ct, z, At, D, dt_bias, *, block_d: int,
             pl.BlockSpec((1, 1, n, block_d), lambda i, j, c: (i, c, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, block_d), ld, memory_space=pltpu.VMEM),
-        ),
+        ) if emit_residuals else
+        pl.BlockSpec((1, chunk, block_d), ld, memory_space=pltpu.VMEM),
         out_shape=(
             jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
             jax.ShapeDtypeStruct((Bb, nchunks, n, d), jnp.float32),
             jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
-        ),
+        ) if emit_residuals else jax.ShapeDtypeStruct((Bb, L, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
         interpret=interpret,
     )(x, dt, Bt, Ct, z, At, D[None, :], dt_bias[None, :])
-    return y, h_entries, y_pre
+    return outs if emit_residuals else (outs, None, None)
 
 
 # ---------------------------------------------------------------------------
@@ -356,9 +370,18 @@ def _block_d_for(d, block_d):
 def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
                            block_d=384, chunk=128, interpret=False,
                            sub_block=8):
-    y, _ = _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk,
-                    interpret, sub_block)
-    return y
+    # primal (no-grad / inference) path: lean kernel without the backward
+    # residual outputs (h_entries, y_pre) — under jax.grad the custom_vjp
+    # machinery calls _vjp_fwd instead, which emits them
+    u_p, dt_p, B_p, C_p, z_p, chunk, L = _prep_args(u, delta, B, C, z, chunk)
+    bd = _block_d_for(u.shape[-1], block_d)
+    Bt = jnp.swapaxes(B_p, 1, 2)
+    Ct = jnp.swapaxes(C_p, 1, 2)
+    At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
+    y, _, _ = _pallas_scan_fwd(u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias,
+                               block_d=bd, chunk=chunk, interpret=interpret,
+                               sub_block=sub_block, emit_residuals=False)
+    return y[:, :L]
 
 
 def _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret,
