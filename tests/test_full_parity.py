@@ -227,3 +227,106 @@ def test_grouping_matches_torch_oracle():
     a = np.sort(np.asarray(grouped.neighborhood), axis=2)
     b = np.sort(neigh_t.numpy(), axis=2)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def _export_partseg_sd(variables, cfg):
+    """Flax PartSegModel variables -> reference-layout torch-style state
+    dict for the oracle (part_segmentation/models/pt_mamba.py naming)."""
+    p, s = variables["params"], variables["batch_stats"]
+    sd = {}
+
+    def lin(stem, leaf, bias=True):
+        sd[f"{stem}.weight"] = np.asarray(leaf["kernel"]).T
+        if bias:
+            sd[f"{stem}.bias"] = np.asarray(leaf["bias"])
+
+    def conv1(stem, leaf):
+        sd[f"{stem}.weight"] = np.asarray(leaf["kernel"]).T[:, :, None]
+        sd[f"{stem}.bias"] = np.asarray(leaf["bias"])
+
+    def bn(stem, leaf, stats):
+        sd[f"{stem}.weight"] = np.asarray(leaf["scale"])
+        sd[f"{stem}.bias"] = np.asarray(leaf["bias"])
+        sd[f"{stem}.running_mean"] = np.asarray(stats["mean"])
+        sd[f"{stem}.running_var"] = np.asarray(stats["var"])
+
+    enc = p["encoder"]
+    conv1("encoder.first_conv.0", enc["conv1"])
+    bn("encoder.first_conv.1", enc["bn1"], s["encoder"]["bn1"])
+    conv1("encoder.first_conv.3", enc["conv2"])
+    conv1("encoder.second_conv.0", enc["conv3"])
+    bn("encoder.second_conv.1", enc["bn2"], s["encoder"]["bn2"])
+    conv1("encoder.second_conv.3", enc["conv4"])
+    lin("pos_embed.0", p["pos_embed"]["fc1"])
+    lin("pos_embed.2", p["pos_embed"]["fc2"])
+
+    km = {"in_proj": "in_proj", "x_proj": "x_proj", "dt_proj": "dt_proj"}
+    for i in range(cfg.depth):
+        bl = p["blocks"][f"layers_{i}"]
+        sd[f"blocks.layers.{i}.norm.weight"] = np.asarray(bl["norm"]["scale"])
+        sd[f"blocks.layers.{i}.norm.bias"] = np.asarray(bl["norm"]["bias"])
+        mx = bl["mixer"]
+        m = f"blocks.layers.{i}.mixer"
+        for fk, tk in km.items():
+            sd[f"{m}.{tk}.weight"] = np.asarray(mx[fk]).T
+        sd[f"{m}.conv1d.weight"] = np.asarray(mx["conv1d_weight"])[:, None, :]
+        sd[f"{m}.conv1d.bias"] = np.asarray(mx["conv1d_bias"])
+        sd[f"{m}.dt_proj.bias"] = np.asarray(mx["dt_proj_bias"])
+        sd[f"{m}.A_log"] = np.asarray(mx["A_log"])
+        sd[f"{m}.D"] = np.asarray(mx["D"])
+        sd[f"{m}.out_proj.weight"] = np.asarray(mx["out_proj"]).T
+    sd["blocks.norm_f.weight"] = np.asarray(p["blocks"]["norm_f"]["scale"])
+    sd["blocks.norm_f.bias"] = np.asarray(p["blocks"]["norm_f"]["bias"])
+    sd["norm.weight"] = np.asarray(p["norm"]["scale"])
+    sd["norm.bias"] = np.asarray(p["norm"]["bias"])
+
+    lin("label_conv", p["label_conv"], bias=False)
+    bn("label_bn", p["label_bn"], s["label_bn"])
+    for i in (1, 2):
+        lin(f"prop_fc{i}", p[f"prop_fc{i}"])
+        bn(f"prop_bn{i}", p[f"prop_bn{i}"], s[f"prop_bn{i}"])
+    lin("convs1", p["convs1"]); bn("bns1", p["bns1"], s["bns1"])
+    lin("convs2", p["convs2"]); bn("bns2", p["bns2"], s["bns2"])
+    lin("convs3", p["convs3"])
+    return sd
+
+
+@pytest.mark.slow
+def test_full_partseg_logp_matches_torch_oracle():
+    """End-to-end per-point log-prob parity of the segmentation model
+    (Group -> Encoder -> graph -> eigh -> SAST -> taps stack -> global +
+    label path -> 3-NN propagation -> head), weights exported from the SAME
+    flax init; randomized BN stats so eval-mode BN is really exercised."""
+    from si_mamba_tpu.models.segmentation import PartSegConfig, PartSegModel
+
+    cfg = PartSegConfig(trans_dim=192, encoder_dims=192, depth=8,
+                        fetch_idx=(1, 4, 7), num_group=64, group_size=16,
+                        knn_graph=10, k_top_eigenvectors=4, method="SAST",
+                        drop_path=0.0, drop_path_rate=0.0, alpha=10.0)
+    model = PartSegModel(cfg)
+    pts = _clouds(4, 512, seed=19)
+    rng = np.random.default_rng(29)
+    onehot = np.eye(16, dtype=np.float32)[rng.integers(0, 16, 4)]
+
+    variables = model.init(jax.random.key(2), jnp.asarray(pts),
+                           jnp.asarray(onehot), train=False)
+    # randomize BN running stats (flax init is mean=0/var=1 — too trivial)
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree.map(
+        lambda x: jnp.abs(jnp.asarray(
+            rng.standard_normal(x.shape).astype(np.float32))) * 0.1 + 0.5,
+        variables["batch_stats"])
+
+    logp_j = np.asarray(model.apply(variables, jnp.asarray(pts),
+                                    jnp.asarray(onehot), train=False))
+
+    from si_mamba_tpu.models.grouping import group_divider as gd
+    grouped = gd(jnp.asarray(pts), cfg.num_group, cfg.group_size)
+    _, eig_jax = spectral_eigvecs(grouped.center, cfg)
+
+    sd = _export_partseg_sd(variables, cfg)
+    logp_t, eig_t = oracle.partseg_logp_torch(sd, cfg, pts, onehot,
+                                              eig_align=np.asarray(eig_jax))
+    cos = oracle.eig_cosines(eig_t, np.asarray(eig_jax))
+    assert cos.min() > 1 - 1e-4, cos.min()
+    np.testing.assert_allclose(logp_j, logp_t, atol=2e-3, rtol=2e-3)

@@ -373,3 +373,95 @@ def mae_loss_torch(sd: dict, cfg, pts: np.ndarray, mask: np.ndarray,
     rebuild = rebuild.reshape(B * M, -1, 3)
     gt = nbr_dec[final_mask].reshape(B * M, -1, 3)
     return float(chamfer_l2_torch(rebuild, gt).mean())
+
+
+# ---------------------------------------------------------------------------
+# Part-segmentation forward (reference part_segmentation/models/pt_mamba.py:
+# 419-787 get_model + MixerModelForSegmentation :325-416 +
+# PointNetFeaturePropagation pointnet2_utils.py:262-312), eval mode.
+# ---------------------------------------------------------------------------
+
+def mixer_stack_taps_torch(sd: dict, prefix: str, depth: int, x, pos,
+                           fetch_idx):
+    """MixerModelForSegmentation: Add->LN->Mixer blocks, norm_f-projected
+    (hidden+residual) collected at ``fetch_idx``."""
+    hidden = x + pos
+    residual = None
+    D = hidden.shape[-1]
+    feats = []
+    for i in range(depth):
+        b = f"{prefix}.layers.{i}"
+        residual = hidden if residual is None else hidden + residual
+        h = F.layer_norm(residual, (D,), t(sd, f"{b}.norm.weight"),
+                         t(sd, f"{b}.norm.bias"), eps=1e-5)
+        hidden = mixer_torch(sd, f"{b}.mixer", h)
+        if i in fetch_idx:
+            out = hidden + residual
+            feats.append(F.layer_norm(out, (D,), t(sd, f"{prefix}.norm_f.weight"),
+                                      t(sd, f"{prefix}.norm_f.bias"), eps=1e-5))
+    return feats
+
+
+def interp3nn_torch(xyz1, xyz2, feats2):
+    """3-NN inverse-distance interpolation (pointnet2_utils.py:273-312)."""
+    d = ((xyz1[:, :, None, :] - xyz2[:, None, :, :]) ** 2).sum(-1)
+    dists, idx = torch.topk(-d, 3, dim=-1)
+    dists = torch.clamp(-dists, min=0.0)
+    w = 1.0 / (dists + 1e-8)
+    w = w / w.sum(dim=-1, keepdim=True)
+    gathered = torch.gather(
+        feats2[:, None].expand(-1, xyz1.shape[1], -1, -1), 2,
+        idx[..., None].expand(-1, -1, -1, feats2.shape[-1]))
+    return (gathered * w[..., None]).sum(dim=2)
+
+
+def partseg_logp_torch(sd: dict, cfg, pts: np.ndarray, onehot: np.ndarray,
+                       eig_align: np.ndarray | None = None):
+    """Per-point log-probs of the seg model (SAST ordering), eval mode."""
+    x = torch.from_numpy(np.asarray(pts, np.float32))
+    oh = torch.from_numpy(np.asarray(onehot, np.float32))
+    B, N, _ = x.shape
+    neigh, center = group_torch(x, cfg.num_group, cfg.group_size)
+    tokens = encoder_torch(sd, neigh)
+    pos = pos_embed_torch(sd, center)
+
+    A = adjacency_torch(center, cfg.knn_graph, cfg.alpha, cfg.symmetric,
+                        cfg.self_loop, cfg.binary)
+    _, eigvecs = eigh_rw_topk_torch(A, cfg.k_top_eigenvectors, cfg.smallest)
+    if eig_align is not None:
+        eigvecs = align_signs(eigvecs, eig_align)
+    tok, pp = sast_order_torch(tokens, pos, eigvecs, reverse=cfg.reverse)
+    cseq, _ = sast_order_torch(center, center, eigvecs, reverse=cfg.reverse)
+
+    feats = mixer_stack_taps_torch(sd, "blocks", cfg.depth, tok, pp,
+                                   cfg.fetch_idx)
+    D = cfg.trans_dim
+    seq_feat = torch.cat(
+        [F.layer_norm(f, (D,), t(sd, "norm.weight"), t(sd, "norm.bias"),
+                      eps=1e-5) for f in feats], dim=-1)
+
+    x_max = seq_feat.max(dim=1).values
+    x_avg = seq_feat.mean(dim=1)
+    lbl = oh @ t(sd, "label_conv.weight").T
+    lbl = F.leaky_relu(_bn_eval(lbl, sd, "label_bn"), 0.2)
+    global_feat = torch.cat([x_max, x_avg, lbl], dim=-1)
+    global_b = global_feat[:, None, :].expand(-1, N, -1)
+
+    def bn_pts(v, stem):
+        # feature-axis BN over (B, N, C): flatten to (B·N, C) for F.batch_norm
+        C = v.shape[-1]
+        return _bn_eval(v.reshape(-1, C), sd, stem).reshape(v.shape)
+
+    interp = interp3nn_torch(x, cseq, seq_feat)
+    f = torch.cat([x, interp], dim=-1)
+    for i in (1, 2):
+        f = F.linear(f, t(sd, f"prop_fc{i}.weight"), t(sd, f"prop_fc{i}.bias"))
+        f = F.relu(bn_pts(f, f"prop_bn{i}"))
+
+    h = torch.cat([f, global_b], dim=-1)
+    h = F.relu(bn_pts(F.linear(h, t(sd, "convs1.weight"), t(sd, "convs1.bias")),
+                      "bns1"))
+    h = F.relu(bn_pts(F.linear(h, t(sd, "convs2.weight"), t(sd, "convs2.bias")),
+                      "bns2"))
+    h = F.linear(h, t(sd, "convs3.weight"), t(sd, "convs3.bias"))
+    return F.log_softmax(h, dim=-1).numpy(), eigvecs
