@@ -1,0 +1,140 @@
+"""Batch inference / serving surface for the classification models.
+
+The reference has no serving path beyond ``--test`` (tools/runner_finetune.py
+:409-467); production point-cloud classification needs a stable API:
+checkpoint in → jitted padded-batch predictor out. TPU-first choices:
+
+- ONE compiled program per (batch-bucket) shape: requests are padded up to a
+  fixed bucket so XLA never recompiles at serve time (buckets are powers of
+  two up to ``max_batch``);
+- optional bf16 mixed precision + subspace eigensolver (the accuracy-neutral
+  perf config, cfgs/finetune_modelnet_perf.yaml);
+- accepts either an orbax experiment checkpoint (``ckpt-best``/``ckpt-last``)
+  or a reference-format torch ``.pth`` via the importer;
+- deterministic: eval-mode forward, fixed FPS start (reference validate
+  semantics), no RNG.
+
+Usage::
+
+    from si_mamba_tpu.serving import Predictor
+    p = Predictor.from_checkpoint("experiments/.../ckpt-best",
+                                  model_cfg=dict(cls_dim=40))
+    probs = p.predict_proba(clouds)      # (n, npoints, 3) any n
+    labels = p.predict(clouds)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from si_mamba_tpu.models import PointMamba, PointMambaConfig
+
+
+def _buckets(max_batch: int) -> list[int]:
+    # Smallest bucket is 2: compiling the full model at batch 1 trips the
+    # XLA TPU FusedSpatialMajorConvolution cost-analysis CHECK (the same
+    # compiler bug family as the rank-4 Dense→BN→reduce crash, see
+    # models/embed.py) — single requests are padded to 2.
+    out = [min(2, max_batch)]
+    while out[-1] < max_batch:
+        out.append(min(out[-1] * 2, max_batch))
+    return out
+
+
+@dataclasses.dataclass
+class Predictor:
+    """Jitted, shape-bucketed batch predictor for ``PointMamba``."""
+
+    model: PointMamba
+    variables: Mapping
+    npoints: int = 1024
+    max_batch: int = 64
+
+    def __post_init__(self):
+        from si_mamba_tpu.train.runner_finetune import _fps_to_npoints
+
+        model, npoints = self.model, self.npoints
+
+        @jax.jit
+        def fwd(variables, pts):
+            pts = _fps_to_npoints(pts, npoints)
+            return model.apply(variables, pts, train=False)
+
+        self._fwd = fwd
+        self._bucket_list = _buckets(self.max_batch)
+
+    # -- constructors -----------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, model_cfg: Optional[dict] = None,
+                        npoints: int = 1024, max_batch: int = 64,
+                        perf: bool = False) -> "Predictor":
+        """``path``: an orbax checkpoint dir (ckpt-best/ckpt-last) or a
+        reference-format torch ``.pth``. ``model_cfg``: PointMambaConfig
+        overrides (cls_dim etc.). ``perf=True`` enables bf16 + subspace."""
+        import os
+
+        over = dict(model_cfg or {})
+        if perf:
+            over.setdefault("dtype", "bfloat16")
+            over.setdefault("spectral_method", "subspace")
+        cfg = PointMambaConfig.from_dict(over)
+        model = PointMamba(cfg)
+
+        if path.endswith(".pth"):
+            from si_mamba_tpu.utils.torch_import import load_pointmamba_checkpoint
+
+            variables, _ = load_pointmamba_checkpoint(path, depth=cfg.depth)
+        else:
+            from si_mamba_tpu.train.checkpoint import load_checkpoint
+
+            payload = load_checkpoint(os.path.dirname(path) or ".",
+                                      os.path.basename(path))
+            if payload is None:
+                raise FileNotFoundError(path)
+            variables = {"params": payload["params"],
+                         "batch_stats": payload["batch_stats"]}
+        return cls(model=model, variables=variables, npoints=npoints,
+                   max_batch=max_batch)
+
+    # -- inference --------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self._bucket_list:
+            if n <= b:
+                return b
+        return self.max_batch
+
+    def logits(self, clouds: np.ndarray) -> np.ndarray:
+        """clouds: (n, N, 3), any n — padded to the nearest bucket, chunked
+        at max_batch. Returns (n, cls_dim)."""
+        clouds = np.asarray(clouds, np.float32)
+        n = clouds.shape[0]
+        outs = []
+        for s0 in range(0, n, self.max_batch):
+            part = clouds[s0:s0 + self.max_batch]
+            b = self._bucket(len(part))
+            if len(part) < b:
+                pad = np.repeat(part[-1:], b - len(part), axis=0)
+                part = np.concatenate([part, pad], axis=0)
+            out = np.asarray(self._fwd(self.variables, jnp.asarray(part)),
+                             np.float32)
+            outs.append(out[:min(self.max_batch, n - s0)])
+        return np.concatenate(outs, axis=0)
+
+    def predict_proba(self, clouds: np.ndarray) -> np.ndarray:
+        logits = self.logits(clouds)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    def predict(self, clouds: np.ndarray) -> np.ndarray:
+        return self.logits(clouds).argmax(axis=-1)
+
+    def warmup(self) -> None:
+        """Pre-compile every bucket shape (call once before serving)."""
+        for b in self._bucket_list:
+            dummy = np.zeros((b, self.npoints, 3), np.float32)
+            np.asarray(self._fwd(self.variables, jnp.asarray(dummy)))

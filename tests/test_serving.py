@@ -1,0 +1,73 @@
+"""Serving surface (si_mamba_tpu/serving.py): checkpoint -> bucketed jitted
+batch predictor, consistent with the training-time eval forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from si_mamba_tpu.models import PointMamba, PointMambaConfig
+from si_mamba_tpu.serving import Predictor, _buckets
+
+
+def test_buckets():
+    assert _buckets(64) == [2, 4, 8, 16, 32, 64]
+    assert _buckets(1) == [1]
+
+
+def _small_predictor(max_batch=8):
+    cfg = PointMambaConfig(trans_dim=32, depth=2, cls_dim=4, group_size=8,
+                           num_group=16, encoder_dims=32, knn_graph=4,
+                           drop_path=0.0)
+    model = PointMamba(cfg)
+    pts = jnp.zeros((2, 128, 3))
+    variables = model.init(jax.random.key(0), pts, train=False)
+    return Predictor(model=model, variables=variables, npoints=128,
+                     max_batch=max_batch), model, variables
+
+
+def test_predictor_matches_direct_forward_and_pads():
+    p, model, variables = _small_predictor()
+    rng = np.random.default_rng(0)
+    clouds = rng.standard_normal((11, 128, 3)).astype(np.float32)  # ragged
+
+    logits = p.logits(clouds)
+    assert logits.shape == (11, 4)
+    # padding/bucketing must not change the per-example result
+    direct = np.asarray(model.apply(variables, jnp.asarray(clouds[:8]),
+                                    train=False))
+    np.testing.assert_allclose(logits[:8], direct, rtol=2e-5, atol=2e-5)
+
+    probs = p.predict_proba(clouds)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    assert (p.predict(clouds) == logits.argmax(-1)).all()
+
+
+def test_predictor_fps_resamples_oversized_clouds():
+    p, model, variables = _small_predictor(max_batch=4)
+    rng = np.random.default_rng(1)
+    clouds = rng.standard_normal((2, 200, 3)).astype(np.float32)  # > npoints
+    logits = p.logits(clouds)
+    assert logits.shape == (2, 4)
+    assert np.isfinite(logits).all()
+
+
+def test_predictor_from_orbax_checkpoint(tmp_path):
+    from si_mamba_tpu.train import checkpoint as ckpt
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState
+
+    cfg = dict(trans_dim=32, depth=2, cls_dim=4, group_size=8, num_group=16,
+               encoder_dims=32, knn_graph=4, drop_path=0.0)
+    model = PointMamba(PointMambaConfig.from_dict(cfg))
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 128, 3)),
+                           train=False)
+    tx, _ = build_optimizer(variables["params"])
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    ckpt.save_checkpoint(str(tmp_path), "ckpt-best", state, epoch=0, metrics={})
+
+    p = Predictor.from_checkpoint(str(tmp_path / "ckpt-best"), model_cfg=cfg,
+                                  npoints=128, max_batch=4)
+    p.warmup()
+    clouds = np.random.default_rng(2).standard_normal((3, 128, 3)).astype(np.float32)
+    direct = np.asarray(model.apply(variables, jnp.asarray(clouds), train=False))
+    np.testing.assert_allclose(p.logits(clouds), direct, rtol=2e-5, atol=2e-5)
