@@ -330,3 +330,57 @@ def test_full_partseg_logp_matches_torch_oracle():
     cos = oracle.eig_cosines(eig_t, np.asarray(eig_jax))
     assert cos.min() > 1 - 1e-4, cos.min()
     np.testing.assert_allclose(logp_j, logp_t, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_full_pointmamba_logits_match_torch_oracle_hlt():
+    """Full-pipeline parity through the HLT ordering path (reference
+    models/point_mamba.py:1054-1112). The bucket sort's random tie-break
+    cannot be replayed in torch, so the HLT canvas layout is computed ONCE
+    in JAX as an index sequence (with the model's own deterministic eval
+    key) and injected into the torch side — the layout itself is pinned
+    separately against the reference's overlap-write canvas in the golden
+    suite; this test proves everything composed around it."""
+    import torch.nn.functional as Fh
+
+    cfg = dataclasses.replace(FULL_CFG, method="HLT", depth=6, trans_dim=192,
+                              encoder_dims=192, num_group=32, group_size=16,
+                              cls_dim=15, knn_graph=10)
+    sd = synthetic_state_dict(cfg, seed=9)
+    params, stats, _ = import_pointmamba(sd, depth=cfg.depth)
+    variables = to_variables(params, stats)
+
+    pts = _clouds(5, 256, seed=21)
+    jp = jnp.asarray(pts)
+    logits_j = np.asarray(PointMamba(cfg).apply(variables, jp, train=False))
+
+    # JAX-side HLT layout as an index sequence (0 = canvas zero slot)
+    from si_mamba_tpu.models.ordering import hlt_sequence
+
+    grouped = group_divider(jp, cfg.num_group, cfg.group_size)
+    _, eig_jax = spectral_eigvecs(grouped.center, cfg)
+    G = cfg.num_group
+    idx_tok = jnp.broadcast_to(jnp.arange(1, G + 1, dtype=jnp.float32)[None, :, None],
+                               (5, G, 1))
+    idx_seq, _ = hlt_sequence(idx_tok, idx_tok, eig_jax,
+                              cfg.k_top_eigenvectors, jax.random.key(0))
+    idx_seq = np.asarray(idx_seq[..., 0]).round().astype(np.int64)  # (B, 2G)
+
+    # torch oracle with the injected layout
+    x = torch.from_numpy(pts)
+    neigh, center = oracle.group_torch(x, cfg.num_group, cfg.group_size)
+    tokens = oracle.encoder_torch(sd, neigh)
+    pos = oracle.pos_embed_torch(sd, center)
+
+    def lay(v):
+        gat = torch.gather(
+            v, 1, torch.from_numpy(np.maximum(idx_seq - 1, 0))[..., None]
+            .expand(-1, -1, v.shape[-1]))
+        return gat * torch.from_numpy((idx_seq > 0).astype(np.float32))[..., None]
+
+    h = oracle.mixer_stack_torch(sd, "blocks", cfg.depth, lay(tokens), lay(pos))
+    h = Fh.layer_norm(h, (cfg.trans_dim,), oracle.t(sd, "norm.weight"),
+                      oracle.t(sd, "norm.bias"), eps=1e-5)
+    logits_t = oracle.cls_head_torch(sd, h.mean(dim=1)).numpy()
+    scale = max(1.0, float(np.abs(logits_t).max()))
+    np.testing.assert_allclose(logits_j, logits_t, atol=1e-3 * scale, rtol=2e-3)
