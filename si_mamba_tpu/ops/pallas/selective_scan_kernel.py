@@ -366,6 +366,17 @@ def _block_d_for(d, block_d):
     return bd
 
 
+def _prep_transposed(u, delta, A, B, C, z, chunk, block_d):
+    """Shared pad/transpose/block-size prep for the fwd kernels.
+    Returns (u_p, dt_p, Bt, Ct, z_p, At, bd, chunk, L)."""
+    u_p, dt_p, B_p, C_p, z_p, chunk, L = _prep_args(u, delta, B, C, z, chunk)
+    bd = _block_d_for(u.shape[-1], block_d)
+    Bt = jnp.swapaxes(B_p, 1, 2)
+    Ct = jnp.swapaxes(C_p, 1, 2)
+    At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
+    return u_p, dt_p, Bt, Ct, z_p, At, bd, chunk, L
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
                            block_d=384, chunk=128, interpret=False,
@@ -373,11 +384,8 @@ def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
     # primal (no-grad / inference) path: lean kernel without the backward
     # residual outputs (h_entries, y_pre) — under jax.grad the custom_vjp
     # machinery calls _vjp_fwd instead, which emits them
-    u_p, dt_p, B_p, C_p, z_p, chunk, L = _prep_args(u, delta, B, C, z, chunk)
-    bd = _block_d_for(u.shape[-1], block_d)
-    Bt = jnp.swapaxes(B_p, 1, 2)
-    Ct = jnp.swapaxes(C_p, 1, 2)
-    At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
+    u_p, dt_p, Bt, Ct, z_p, At, bd, chunk, L = _prep_transposed(
+        u, delta, A, B, C, z, chunk, block_d)
     y, _, _ = _pallas_scan_fwd(u_p, dt_p, Bt, Ct, z_p, At, D, delta_bias,
                                block_d=bd, chunk=chunk, interpret=interpret,
                                sub_block=sub_block, emit_residuals=False)
@@ -386,11 +394,8 @@ def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
 
 def _vjp_fwd(u, delta, A, B, C, D, z, delta_bias, block_d, chunk, interpret,
              sub_block=8):
-    u_p, dt_p, B_p, C_p, z_p, chunk, L = _prep_args(u, delta, B, C, z, chunk)
-    bd = _block_d_for(u.shape[-1], block_d)
-    Bt = jnp.swapaxes(B_p, 1, 2)
-    Ct = jnp.swapaxes(C_p, 1, 2)
-    At = jnp.swapaxes(A, 0, 1).astype(jnp.float32)
+    u_p, dt_p, Bt, Ct, z_p, At, bd, chunk, L = _prep_transposed(
+        u, delta, A, B, C, z, chunk, block_d)
     y, h_entries, y_pre = _pallas_scan_fwd(u_p, dt_p, Bt, Ct, z_p, At, D,
                                            delta_bias, block_d=bd, chunk=chunk,
                                            interpret=interpret,

@@ -36,11 +36,12 @@ from si_mamba_tpu.models import PointMamba, PointMambaConfig
 
 
 def _buckets(max_batch: int) -> list[int]:
-    # Smallest bucket is 2: compiling the full model at batch 1 trips the
-    # XLA TPU FusedSpatialMajorConvolution cost-analysis CHECK (the same
-    # compiler bug family as the rank-4 Dense→BN→reduce crash, see
-    # models/embed.py) — single requests are padded to 2.
-    out = [min(2, max_batch)]
+    # Smallest bucket is ALWAYS 2 (even for max_batch=1): compiling the full
+    # model at batch 1 trips the XLA TPU FusedSpatialMajorConvolution
+    # cost-analysis CHECK (the same compiler bug family as the rank-4
+    # Dense→BN→reduce crash, see models/embed.py) — single requests are
+    # padded to 2 and trimmed.
+    out = [2]
     while out[-1] < max_batch:
         out.append(min(out[-1] * 2, max_batch))
     return out
@@ -54,10 +55,17 @@ class Predictor:
     variables: Mapping
     npoints: int = 1024
     max_batch: int = 64
+    input_points: Optional[int] = None  # expected request N; default npoints
+    allow_recompile: bool = False
 
     def __post_init__(self):
         from si_mamba_tpu.train.runner_finetune import _fps_to_npoints
 
+        # commit params to device ONCE — orbax restores host numpy arrays,
+        # and jit would re-upload the whole tree on every call otherwise
+        self.variables = jax.device_put(self.variables)
+        if self.input_points is None:
+            self.input_points = self.npoints
         model, npoints = self.model, self.npoints
 
         @jax.jit
@@ -110,9 +118,21 @@ class Predictor:
 
     def logits(self, clouds: np.ndarray) -> np.ndarray:
         """clouds: (n, N, 3), any n — padded to the nearest bucket, chunked
-        at max_batch. Returns (n, cls_dim)."""
+        at max_batch. Returns (n, cls_dim).
+
+        N must equal ``input_points`` (each distinct N is a fresh XLA
+        compile — minutes on a tunneled chip — so an unexpected shape
+        raises unless ``allow_recompile=True``)."""
         clouds = np.asarray(clouds, np.float32)
         n = clouds.shape[0]
+        if n == 0:
+            return np.zeros((0, self.model.config.cls_dim), np.float32)
+        if clouds.shape[1] != self.input_points and not self.allow_recompile:
+            raise ValueError(
+                f"request has {clouds.shape[1]} points but the predictor was "
+                f"compiled for {self.input_points}; resample on the host or "
+                f"construct with allow_recompile=True / input_points="
+                f"{clouds.shape[1]}")
         outs = []
         for s0 in range(0, n, self.max_batch):
             part = clouds[s0:s0 + self.max_batch]
@@ -136,5 +156,5 @@ class Predictor:
     def warmup(self) -> None:
         """Pre-compile every bucket shape (call once before serving)."""
         for b in self._bucket_list:
-            dummy = np.zeros((b, self.npoints, 3), np.float32)
+            dummy = np.zeros((b, self.input_points, 3), np.float32)
             np.asarray(self._fwd(self.variables, jnp.asarray(dummy)))

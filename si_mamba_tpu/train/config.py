@@ -40,7 +40,17 @@ def merge_new_config(config: dict, new_config: dict, base_dir: str = ".") -> dic
     a ``_base_`` key loads the referenced YAML into that subtree first)."""
     for key, val in new_config.items():
         if key == "_base_":
-            path = val if os.path.isabs(val) else os.path.join(base_dir, val)
+            # candidates: absolute | base_dir-relative | base_dir's parent
+            # (repo root when the config lives in cfgs/ — makes the
+            # reference's CWD-relative "cfgs/..." refs work from any CWD) |
+            # plain CWD-relative (the reference convention)
+            if os.path.isabs(val):
+                path = val
+            else:
+                cands = [os.path.join(base_dir, val),
+                         os.path.join(os.path.dirname(base_dir.rstrip("/")), val),
+                         val]
+                path = next((c for c in cands if os.path.isfile(c)), cands[0])
             with open(path) as f:
                 base = yaml.safe_load(f) or {}
             config[key] = ConfigDict()
@@ -67,9 +77,12 @@ def cfg_from_yaml_file(path: str, base_dir: str | None = None) -> ConfigDict:
     # (utils/config.py:18-35) so its dataset configs parse unchanged.
     base_ref = raw.pop("_base_", None)
     if base_ref is not None:
-        bpath = base_ref if os.path.isabs(base_ref) else os.path.join(bd, base_ref)
-        # resolve the inherited file's own relative _base_ refs against ITS
-        # directory, with get_config's CWD fallback (reference convention)
+        # resolve against the preset file's dir first, then as-given
+        # (CWD-relative — the reference convention for cfgs/ refs)
+        candidates = ([base_ref] if os.path.isabs(base_ref)
+                      else [os.path.join(bd, base_ref), base_ref])
+        bpath = next((c for c in candidates if os.path.isfile(c)),
+                     candidates[0])
         cfg = ConfigDict(get_config(bpath))
     merge_new_config(cfg, raw, bd)
     return _to_config(cfg)

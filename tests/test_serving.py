@@ -11,7 +11,8 @@ from si_mamba_tpu.serving import Predictor, _buckets
 
 def test_buckets():
     assert _buckets(64) == [2, 4, 8, 16, 32, 64]
-    assert _buckets(1) == [1]
+    # floor is 2 even at max_batch=1 (batch-1 XLA TPU compiler crash guard)
+    assert _buckets(1) == [2]
 
 
 def _small_predictor(max_batch=8):
@@ -46,9 +47,20 @@ def test_predictor_fps_resamples_oversized_clouds():
     p, model, variables = _small_predictor(max_batch=4)
     rng = np.random.default_rng(1)
     clouds = rng.standard_normal((2, 200, 3)).astype(np.float32)  # > npoints
-    logits = p.logits(clouds)
+    # unexpected N raises (each new N is a serve-time recompile) ...
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        p.logits(clouds)
+    # ... unless the predictor is built for that request shape
+    p200 = Predictor(model=p.model, variables=p.variables, npoints=128,
+                     max_batch=4, input_points=200)
+    logits = p200.logits(clouds)
     assert logits.shape == (2, 4)
     assert np.isfinite(logits).all()
+
+    # empty requests return an empty result, not a crash
+    assert p.logits(np.zeros((0, 128, 3), np.float32)).shape == (0, 4)
 
 
 def test_predictor_from_orbax_checkpoint(tmp_path):
