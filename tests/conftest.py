@@ -25,8 +25,8 @@ jax.config.update("jax_enable_x64", False)
 
 
 # Compile-heavy tests (>~30 s each; full-size parity, end-to-end runners,
-# multi-step training) — `pytest -m 'not slow'` is the quick loop (~8 min),
-# the full suite (~27 min) stays the merge gate.
+# multi-step training) — `pytest -m 'not slow'` is the quick loop (~13 min),
+# the full suite (~34 min) stays the merge gate.
 _SLOW = {
     "test_seg_forward_shapes", "test_seg_train_grads",
     "test_mae_train_step_on_mesh", "test_finetune_mini_run",
@@ -39,6 +39,9 @@ _SLOW = {
     "test_train_step_reduces_loss", "test_train_step_reduces_loss_bf16",
     "test_dryrun_multichip_8dev", "test_point_mamba_train_grads",
     "test_golden_mae_loss", "test_golden_point_mamba_logits",
+    "test_pipeline_matches_sequential", "test_pipeline_grads_match_sequential",
+    "test_finetune_run_lambda_lr", "test_full_partseg_logp_matches_torch_oracle",
+    "test_full_pointmamba_logits_match_torch_oracle_hlt",
 }
 
 
