@@ -251,8 +251,19 @@ def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
     xz = x @ wcast(params["in_proj_w"])  # (B, L, 2*d_inner)
     d_inner = xz.shape[-1] // 2
     if impl in ("fused", "fused_interpret"):
-        from si_mamba_tpu.ops.pallas.fused_mixer_kernel import fused_mamba_mixer
+        from si_mamba_tpu.ops.pallas.fused_mixer_kernel import (
+            fused_mamba_mixer,
+            fused_mixer_supported,
+        )
 
+        # Mosaic lane constraints apply only to the COMPILED kernel;
+        # interpret mode (tests) handles any shape.
+        if impl == "fused" and not fused_mixer_supported(d_inner, d_state,
+                                                         x.shape[1]):
+            raise ValueError(
+                f"impl='fused' needs d_inner % 128 == 0 and d_state <= 32 "
+                f"(got d_inner={d_inner}, d_state={d_state}); use "
+                f"impl='pallas' (per-op kernels) for this shape")
         y = fused_mamba_mixer(
             xz, params["conv_w"], params["conv_b"], params["x_proj_w"],
             params["dt_proj_w"], params["dt_proj_b"],
@@ -261,7 +272,12 @@ def mamba_mixer_apply(params: dict, x: jax.Array, *, d_state: int, dt_rank: int,
             interpret=(impl == "fused_interpret"))
         return y.astype(cdt) @ wcast(params["out_proj_w"])
     xi, z = xz[..., :d_inner], xz[..., d_inner:]
-    if impl in ("pallas", "auto") and jax.default_backend() == "tpu":
+    # The Pallas conv needs a lane block >= 128 that divides d_inner
+    # (ops/pallas/causal_conv_kernel._pick_bd degrades below the 128-lane
+    # tile otherwise — slow or un-lowerable); unusual widths fall back to
+    # the XLA shifted-multiply conv.
+    if (impl in ("pallas", "auto") and jax.default_backend() == "tpu"
+            and d_inner % 128 == 0):
         from si_mamba_tpu.ops.pallas.causal_conv_kernel import causal_conv1d_silu_pallas
 
         xi = causal_conv1d_silu_pallas(xi, params["conv_w"], params["conv_b"])

@@ -76,13 +76,14 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (y * scale + bias).astype(x.dtype)
 
 
-def _stage_apply(stage_params, h, res, *, d_state, dt_rank, scan_impl):
+def _stage_apply(stage_params, h, res, *, d_state, dt_rank, scan_impl,
+                 norm_eps=1e-5):
     """Apply this stage's layers_per_stage blocks to the (h, res) pair."""
     per = stage_params["norm_scale"].shape[0]
     for i in range(per):
         res = h + res
         hn = _layer_norm(res, stage_params["norm_scale"][i],
-                         stage_params["norm_bias"][i])
+                         stage_params["norm_bias"][i], eps=norm_eps)
         lp = {k: v[i] for k, v in stage_params["mixer"].items()}
         h = mamba_mixer_apply(lp, hn, d_state=d_state, dt_rank=dt_rank,
                               impl=scan_impl)
@@ -135,7 +136,8 @@ def pipeline_mixer_apply(stacked, norm_f, x, *, mesh: Mesh, axis: str = "pipe",
             h_in = jnp.where(first & (t < n_micro), inject, h)
             res_in = jnp.where(first & (t < n_micro), jnp.zeros_like(res), res)
             h2, res2 = _stage_apply(sp, h_in, res_in, d_state=d_state,
-                                    dt_rank=dt_rank, scan_impl=scan_impl)
+                                    dt_rank=dt_rank, scan_impl=scan_impl,
+                                    norm_eps=norm_eps)
             # final stage emits microbatch t - (nst-1)
             out_mb = (h2 + res2).astype(jnp.float32)
             emit = (stage == nst - 1) & (t >= nst - 1)

@@ -80,10 +80,14 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, path: str, model_cfg: Optional[dict] = None,
                         npoints: int = 1024, max_batch: int = 64,
-                        perf: bool = False) -> "Predictor":
+                        perf: bool = False,
+                        input_points: Optional[int] = None,
+                        allow_recompile: bool = False) -> "Predictor":
         """``path``: an orbax checkpoint dir (ckpt-best/ckpt-last) or a
         reference-format torch ``.pth``. ``model_cfg``: PointMambaConfig
-        overrides (cls_dim etc.). ``perf=True`` enables bf16 + subspace."""
+        overrides (cls_dim etc.). ``perf=True`` enables bf16 + subspace.
+        ``input_points``/``allow_recompile``: the N != npoints escape hatch
+        (see ``Predictor.logits``), forwarded to the constructor."""
         import os
 
         over = dict(model_cfg or {})
@@ -107,7 +111,8 @@ class Predictor:
             variables = {"params": payload["params"],
                          "batch_stats": payload["batch_stats"]}
         return cls(model=model, variables=variables, npoints=npoints,
-                   max_batch=max_batch)
+                   max_batch=max_batch, input_points=input_points,
+                   allow_recompile=allow_recompile)
 
     # -- inference --------------------------------------------------------
     def _bucket(self, n: int) -> int:

@@ -75,6 +75,37 @@ def test_pallas_bf16_inputs_interpret():
     assert rel.max() < 0.1, rel.max()
 
 
+def test_pallas_bf16_grads_interpret():
+    """bf16 mixed-precision gradients vs the fp32 oracle.
+
+    Pins the acceptable bf16 grad tolerance (ADVICE r2): the y_pre backward
+    residual is stored in the input dtype, so in bf16 dz is computed from a
+    bf16-rounded y0 — expect ~1e-2 rel-to-max error on dz (bf16 has ~3
+    decimal digits), and the same order elsewhere from bf16 inputs."""
+    kw = _inputs(b=1, l=32, d=16, n=4, seed=9)
+    to_bf = lambda x: x.astype(jnp.bfloat16)
+
+    def lp(u, delta, A, B, C, D, z, db):
+        y = selective_scan_pallas(to_bf(u), to_bf(delta), A, to_bf(B),
+                                  to_bf(C), D=D, z=to_bf(z), delta_bias=db,
+                                  block_d=16, chunk=16, interpret=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def ls(u, delta, A, B, C, D, z, db):
+        y = selective_scan_seq(u, delta, A, B, C, D=D, z=z, delta_bias=db)
+        return jnp.sum(y**2)
+
+    args = (kw["u"], kw["delta"], kw["A"], kw["B"], kw["C"], kw["D"], kw["z"],
+            kw["delta_bias"])
+    gp = jax.grad(lp, argnums=tuple(range(8)))(*args)
+    gs = jax.grad(ls, argnums=tuple(range(8)))(*args)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz", "ddelta_bias"]
+    for name, a, b_ in zip(names, gp, gs):
+        a, b_ = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        rel = np.abs(a - b_).max() / (np.abs(b_).max() + 1e-6)
+        assert rel < 3e-2, (name, rel)
+
+
 @pytest.mark.parametrize("shape", [
     (1, 7, 8, 2),     # tiny ragged L
     (3, 130, 24, 4),  # L just over one chunk, odd d
