@@ -102,7 +102,11 @@ class MambaMixer(nn.Module):
             "out_proj_w": self.param("out_proj", scaled_out_init, (d_inner, self.d_model)),
         }
         x = x.astype(self.dtype)
-        if self.tp_axis is not None:
+        # TP path only under jit: eager partial-manual shard_map (and eager
+        # with_sharding_constraint without a context mesh) are unsupported,
+        # and flax ``init`` runs eagerly — the plain path computes the same
+        # values, so init'd downstream params are identical.
+        if self.tp_axis is not None and not self.is_initializing():
             from jax.sharding import PartitionSpec as P
 
             from si_mamba_tpu.parallel.tensor_parallel import mamba_mixer_tp

@@ -39,6 +39,7 @@ class PointMambaConfig:
     drop_path: float = 0.1
     drop_out: float = 0.0
     drop_out_in_block: float = 0.0
+    cls_head_dropout: float = 0.5  # reference hard-codes 0.5 (:488-498)
     use_cls_token: bool = False
     # ordering method config
     method: str = "SAST"  # SAST | HLT | MAMBA
@@ -58,6 +59,11 @@ class PointMambaConfig:
     scan_impl: str = "auto"
     spectral_method: str = "eigh"  # eigh (exact) | subspace (MXU-only approx)
     dtype: str = "float32"
+    # tensor parallelism: name of the model mesh axis to shard every mixer's
+    # d_inner over (parallel/tensor_parallel.py). Requires running under a
+    # mesh that has this axis (jax.set_mesh / runner tp_size config key);
+    # composes with the 'data' axis. None = no TP (reference behavior).
+    tp_axis: Optional[str] = None
 
     @property
     def seq_len(self) -> int:
@@ -152,6 +158,11 @@ class PointMamba(nn.Module):
             x = nn.Dropout(cfg.drop_out)(x, deterministic=not train)
 
         if cfg.add_after_layer:
+            # MixerModelAdd (inter-layer re-sort) is not TP-wired: the
+            # cross_merge gathers between layers would need their own
+            # sharding story; the published configs never combine the two.
+            if cfg.tp_axis is not None:
+                raise NotImplementedError("tp_axis with add_after_layer")
             x = MixerModelAdd(cfg.trans_dim, cfg.depth, rms_norm=cfg.rms_norm,
                               drop_path=cfg.drop_path,
                               drop_out_in_block=cfg.drop_out_in_block,
@@ -161,12 +172,14 @@ class PointMamba(nn.Module):
             x = MixerModel(cfg.trans_dim, cfg.depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path,
                            drop_out_in_block=cfg.drop_out_in_block,
-                           scan_impl=cfg.scan_impl, dtype=dtype, name="blocks")(
+                           scan_impl=cfg.scan_impl, tp_axis=cfg.tp_axis,
+                           dtype=dtype, name="blocks")(
                 x, pos_seq, deterministic=not train)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x)
         feat = jnp.mean(x, axis=1)
-        logits = ClsHead(cfg.cls_dim, dtype=dtype, name="cls_head_finetune")(
+        logits = ClsHead(cfg.cls_dim, drop=cfg.cls_head_dropout, dtype=dtype,
+                         name="cls_head_finetune")(
             feat, train=train, bn_momentum=bn_momentum)
         if return_features:
             return logits, feat

@@ -7,8 +7,11 @@ from si_mamba_tpu.parallel.mesh import (
     replicate,
     dp_train_jit,
     dp_eval_jit,
+    maybe_initialize_distributed,
+    per_process_batch,
 )
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
            "replicate", "dp_train_jit", "dp_eval_jit",
+           "maybe_initialize_distributed", "per_process_batch",
            "pipeline_mixer_apply", "stack_mixer_params"]

@@ -18,6 +18,46 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(logger=None) -> bool:
+    """Multi-host bring-up (reference utils/dist_utils.py:9-24 init_dist).
+
+    Env-gated: set ``SI_MAMBA_MULTIHOST=1`` on every process of a multi-host
+    launch (a TPU pod slice, or GPUs/CPUs with the standard JAX coordinator
+    env vars ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID``) and ``jax.distributed.initialize()`` runs before the
+    first backend use, making ``jax.process_count() == P`` real — which in
+    turn activates the per-process loader shard (data/loader.py) and the
+    global-batch assembly (shard_batch). Single-host runs skip it entirely
+    (the reference's ``--launcher none`` path). Returns True if initialized.
+    """
+    import os
+
+    if os.environ.get("SI_MAMBA_MULTIHOST", "").lower() not in ("1", "true"):
+        return False
+    jax.distributed.initialize()  # TPU pods auto-discover; else env vars
+    if logger is not None:
+        logger.info("jax.distributed initialized: process %d/%d, %d/%d devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
+    return True
+
+
+def per_process_batch(total_bs: int, process_count: int | None = None) -> int:
+    """Split the GLOBAL batch size across processes (reference main.py:72-86:
+    ``assert config.total_bs % world_size == 0``, per-rank bs = total/world).
+
+    Each process's Loader yields this many samples; ``shard_batch`` assembles
+    them into the global ``total_bs`` batch, so the effective hyperparameters
+    (LR-vs-batch pairing) are identical at any P.
+    """
+    P = jax.process_count() if process_count is None else process_count
+    if total_bs % P != 0:
+        raise ValueError(
+            f"total_bs={total_bs} must divide evenly over "
+            f"{P} processes (reference main.py:73 asserts the same)")
+    return total_bs // P
+
+
 def make_mesh(devices: Sequence[jax.Device] | None = None,
               axis_names: tuple[str, ...] = ("data",),
               shape: tuple[int, ...] | None = None) -> Mesh:

@@ -94,12 +94,17 @@ def mamba_mixer_tp(params: Dict[str, Any], x: jax.Array, *,
         "D": P(axis),
         "out_proj_w": P(axis, None),
     }
+    # Manual only over the model axis: any OTHER mesh axis (e.g. 'data' in a
+    # composed ('data', 'model') mesh) stays under automatic partitioning, so
+    # the batch keeps its P('data') sharding inside the body and DP×TP
+    # composes without gathering the batch.
     fn = shard_map(
         partial(_mixer_local, d_state=d_state, dt_rank=dt_rank, axis=axis,
                 scan_impl=scan_impl),
         mesh=mesh,
         in_specs=(pspec, P()),
         out_specs=P(),
+        axis_names=frozenset({axis}),
         check_vma=False,
     )
     return fn(params, x)

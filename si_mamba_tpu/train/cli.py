@@ -121,6 +121,11 @@ def _load_pretrained(path: str):
 
 
 def main(argv=None):
+    # Multi-host rendezvous MUST precede any other jax use (reference
+    # main.py:53 init_dist before everything); env-gated no-op single-host.
+    from si_mamba_tpu.parallel import maybe_initialize_distributed, per_process_batch
+
+    maybe_initialize_distributed()
     args = get_args(argv)
     snapshot = os.path.join(args.experiment_path, "config.yaml")
     if args.resume:
@@ -141,7 +146,9 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     model_name = config.model.NAME
-    bs = int(config.total_bs)
+    # total_bs is the GLOBAL batch; each process loads its 1/P slice and
+    # shard_batch reassembles (reference main.py:72-86 per-rank split).
+    bs = per_process_batch(int(config.total_bs))
     if args.way > 0:  # few-shot: the classifier width equals the way count
         config.model.cls_dim = args.way
     if args.scratch_model:  # train from scratch: ignore any pretrain ckpt

@@ -89,19 +89,32 @@ def make_eval_step(model: PointMamba, npoints: int):
     return step
 
 
-def make_vote_step(model: PointMamba, npoints: int, rotation: bool):
-    """One vote pass: FPS-resample + augmentation + forward (logits)."""
+def make_vote_step(model: PointMamba, npoints: int, rotation: bool,
+                   times: int = 10):
+    """ALL ``times`` vote passes in ONE compiled program: a ``lax.scan`` over
+    per-pass keys, each pass FPS-resample + augmentation + forward, summing
+    logits. The reference dispatches 10 separate forwards per batch
+    (tools/runner_finetune.py:345-406); folding them into one jitted scan
+    removes 9/10 of the dispatch latency — decisive on a tunneled chip where
+    each dispatch pays the relay RTT."""
 
     def step(state: TrainState, points, rng):
-        k_fps, k_aug = jax.random.split(rng)
-        pts = transforms.fps_resample(points, k_fps, npoints,
-                                      point_all=_point_all(npoints))
-        if rotation:
-            pts = transforms.rotate_y(pts, k_aug)
-        else:
-            pts = transforms.scale_and_translate(pts, k_aug)
-        return model.apply({"params": state.params, "batch_stats": state.batch_stats},
-                           pts, train=False)
+        def one_pass(acc, k):
+            k_fps, k_aug = jax.random.split(k)
+            pts = transforms.fps_resample(points, k_fps, npoints,
+                                          point_all=_point_all(npoints))
+            if rotation:
+                pts = transforms.rotate_y(pts, k_aug)
+            else:
+                pts = transforms.scale_and_translate(pts, k_aug)
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pts, train=False)
+            return acc + logits.astype(jnp.float32), None
+
+        acc0 = jnp.zeros((points.shape[0], model.config.cls_dim), jnp.float32)
+        acc, _ = jax.lax.scan(one_pass, acc0, jax.random.split(rng, times))
+        return acc
 
     return step
 
@@ -126,15 +139,12 @@ def validate(eval_step, state, loader, epoch: int = 0) -> float:
     return 100.0 * counts[0] / max(counts[1], 1)
 
 
-def validate_vote(vote_step, state, loader, times: int = 10, seed: int = 0) -> float:
-    """Average logits over ``times`` stochastic passes (reference :345-406)."""
+def validate_vote(vote_step, state, loader, seed: int = 0) -> float:
+    """Logit-vote accuracy (reference :345-406). ``vote_step`` (from
+    ``make_vote_step``) runs all vote passes in-graph — one dispatch/batch."""
     correct = total = 0
     for pts, labels in loader.epoch(0):
-        pts = jnp.asarray(pts)
-        acc_logits = None
-        for v in range(times):
-            logits = vote_step(state, pts, jax.random.key(seed * 1000 + v))
-            acc_logits = logits if acc_logits is None else acc_logits + logits
+        acc_logits = vote_step(state, jnp.asarray(pts), jax.random.key(seed))
         pred = np.asarray(acc_logits).argmax(-1)
         correct += int((pred == labels).sum())
         total += len(labels)
@@ -151,6 +161,24 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
     model = PointMamba(model_cfg)
     npoints = int(config.npoints)
     rotation = bool(config.model.get("rotation", False))
+
+    # DP×TP composition: with model.tp_axis set and top-level ``tp_size`` > 1
+    # the mesh becomes ('data', tp_axis) shaped (ndev/tp, tp) and every
+    # mixer's d_inner shards over the second axis (parallel/tensor_parallel)
+    # while the batch stays on 'data'. The mesh must be in the thread-local
+    # context (jax.set_mesh) for BOTH init and the jitted steps, because the
+    # in-model shard_map/with_sharding_constraint resolve the mesh from
+    # context at trace time.
+    tp_size = int(config.get("tp_size", 1) or 1)
+    if model_cfg.tp_axis is not None and tp_size > 1:
+        ndev = len(jax.devices())
+        if ndev % tp_size != 0:
+            raise ValueError(f"tp_size={tp_size} must divide {ndev} devices")
+        mesh = make_mesh(axis_names=("data", model_cfg.tp_axis),
+                         shape=(ndev // tp_size, tp_size))
+    else:
+        mesh = make_mesh()
+    mesh_ctx = jax.set_mesh(mesh)  # global swap now; restored in finally
 
     dummy = jnp.zeros((2, npoints, 3), jnp.float32)
     variables = model.init(jax.random.key(seed), dummy, train=False)
@@ -200,7 +228,6 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
     # Explicit DP shardings (state replicated, batch on 'data') so the same
     # runner is correct on 1 chip and on a real multi-chip mesh (VERDICT r1
     # weak #2); mirrors __graft_entry__.dryrun_multichip.
-    mesh = make_mesh()
     state = replicate(state, mesh)
     train_step = dp_train_jit(make_train_step(model, npoints, rotation), mesh,
                               n_extra=2)  # rng, bn_momentum
@@ -211,40 +238,43 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
     rng = jax.random.key(seed)
 
     max_epoch = int(config.max_epoch)
-    for epoch in range(start_epoch, max_epoch + 1):
-        t0 = time.time()
-        meters = AverageMeter(["loss", "acc"])
-        bn_m = jnp.float32(bn_sched(epoch))
-        for pts, labels in train_loader.epoch(epoch):
-            batch = shard_batch((jnp.asarray(pts), jnp.asarray(labels)), mesh)
-            state, m = train_step(state, *batch, rng, bn_m)
-            meters.update([float(m["loss"]), float(m["acc"])])
-        lr_now = float(sched(int(state.step)))
-        print_log(f"[Training] EPOCH: {epoch} EpochTime = {time.time()-t0:.3f} (s) "
-                  f"Losses = {['%.4f' % v for v in meters.avg()]} lr = {lr_now:.6f}",
-                  logger)
-        writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)
-        writer.add_scalar("LR", lr_now, epoch)
+    try:
+        for epoch in range(start_epoch, max_epoch + 1):
+            t0 = time.time()
+            meters = AverageMeter(["loss", "acc"])
+            bn_m = jnp.float32(bn_sched(epoch))
+            for pts, labels in train_loader.epoch(epoch):
+                batch = shard_batch((jnp.asarray(pts), jnp.asarray(labels)), mesh)
+                state, m = train_step(state, *batch, rng, bn_m)
+                meters.update([float(m["loss"]), float(m["acc"])])
+            lr_now = float(sched(int(state.step)))
+            print_log(f"[Training] EPOCH: {epoch} EpochTime = {time.time()-t0:.3f} (s) "
+                      f"Losses = {['%.4f' % v for v in meters.avg()]} lr = {lr_now:.6f}",
+                      logger)
+            writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)
+            writer.add_scalar("LR", lr_now, epoch)
 
-        acc = validate(eval_step, state, val_loader, epoch)
-        writer.add_scalar("Metric/ACC", acc, epoch)
-        print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}", logger)
-        metrics = AccMetric(acc)
-        better = metrics.better_than(best_metrics)
-        if better:
-            best_metrics = metrics
-            ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch,
+            acc = validate(eval_step, state, val_loader, epoch)
+            writer.add_scalar("Metric/ACC", acc, epoch)
+            print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}", logger)
+            metrics = AccMetric(acc)
+            better = metrics.better_than(best_metrics)
+            if better:
+                best_metrics = metrics
+                ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch,
+                                     metrics.state_dict(), best_metrics.state_dict())
+            # vote thresholds from reference runner_finetune.py:278-288
+            if vote and (acc > 92.1 or (better and acc > 91)):
+                vacc = validate_vote(vote_step, state, val_loader)
+                writer.add_scalar("Metric/ACC_vote", vacc, epoch)
+                if AccMetric(vacc).better_than(best_vote):
+                    best_vote = AccMetric(vacc)
+                    ckpt.save_checkpoint(exp_dir, "ckpt-best_vote", state, epoch,
+                                         {"acc": vacc}, best_vote.state_dict())
+            ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch,
                                  metrics.state_dict(), best_metrics.state_dict())
-        # vote thresholds from reference runner_finetune.py:278-288
-        if vote and (acc > 92.1 or (better and acc > 91)):
-            vacc = validate_vote(vote_step, state, val_loader)
-            writer.add_scalar("Metric/ACC_vote", vacc, epoch)
-            if AccMetric(vacc).better_than(best_vote):
-                best_vote = AccMetric(vacc)
-                ckpt.save_checkpoint(exp_dir, "ckpt-best_vote", state, epoch,
-                                     {"acc": vacc}, best_vote.state_dict())
-        ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch,
-                             metrics.state_dict(), best_metrics.state_dict())
+    finally:
+        mesh_ctx.__exit__(None, None, None)
     writer.close()
     return state, best_metrics
 
@@ -292,11 +322,11 @@ def test_run(config, test_loader, state_or_variables, vote: bool = False,
     print_log(f"[TEST] acc = {acc:.4f}", logger)
     if vote:
         rotation = bool(config.model.get("rotation", False))
-        vote_step = jax.jit(make_vote_step(model, npoints, rotation))
+        vote_step = jax.jit(make_vote_step(model, npoints, rotation, times=10))
         best = 0.0
         for t in range(300):
             vacc = validate_vote(vote_step, state_or_variables, test_loader,
-                                 times=10, seed=t)
+                                 seed=t)
             best = max(best, vacc)
             if t % 10 == 0:
                 print_log(f"[TEST_VOTE] iter {t}: acc {vacc:.4f} best {best:.4f}",

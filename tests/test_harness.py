@@ -28,16 +28,23 @@ def test_dryrun_multichip_8dev():
 def test_cosine_warmup_schedule():
     from si_mamba_tpu.train.optim import cosine_warmup_epoch_schedule
 
+    import math
+
     sched = cosine_warmup_epoch_schedule(3e-4, epochs=300, warmup_epochs=10,
                                          steps_per_epoch=100)
-    # epoch 0 starts at warmup_lr_init
-    assert float(sched(0)) < 1e-5
-    # epoch 10 = base lr
-    np.testing.assert_allclose(float(sched(10 * 100)), 3e-4, rtol=1e-5)
+    # epoch 0 AND epoch 1 train at warmup_lr_init (timm sets init lr at
+    # construction and the reference steps the scheduler at epoch END)
+    assert float(sched(0)) < 1e-5 and float(sched(100)) < 1e-5
+    # epoch 10 = last warmup value (t=9): init + 0.9*(base-init)
+    np.testing.assert_allclose(float(sched(10 * 100)), 0.9 * 3e-4, rtol=1e-3)
+    # epoch 11 = first cosine value: t=10 over the FULL t_initial=300 cycle
+    # (warmup_prefix=False — timm 0.4.5 default used by the reference)
+    expect = 1e-6 + 0.5 * (3e-4 - 1e-6) * (1 + math.cos(math.pi * 10 / 300))
+    np.testing.assert_allclose(float(sched(11 * 100)), expect, rtol=1e-6)
     # end of training ~ lr_min
-    np.testing.assert_allclose(float(sched(300 * 100)), 1e-6, rtol=1e-2, atol=1e-7)
+    np.testing.assert_allclose(float(sched(300 * 100)), 1e-6, rtol=1e-1, atol=1e-7)
     # monotone decay after warmup
-    vals = [float(sched(e * 100)) for e in range(10, 300, 10)]
+    vals = [float(sched(e * 100)) for e in range(11, 300, 10)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
 
 
@@ -269,3 +276,82 @@ def test_tp_mixer_in_model_stack():
         y1 = jax.jit(lambda v, x, p: mm_tp.apply(v, x, p))(vm, x, pos)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_dp_tp_composed_train_step_matches_dp_only():
+    """FULL-model train step on a ('data','model') 4x2 mesh with the mixers
+    genuinely sharded over 'model' (config.tp_axis) must match the 1-D
+    DP-only step: same loss/acc, same gradients (rel-to-max — Adam's
+    g/(|g|+eps) normalization makes post-update params sign-brittle for
+    noise-floor grads, so grads are the right quantity to pin), and same
+    updated BatchNorm stats (VERDICT r2 #1b)."""
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.models.point_mamba import cross_entropy_loss_acc
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState, make_classifier_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(trans_dim=32, depth=2, cls_dim=4, group_size=8, num_group=16,
+              encoder_dims=32, knn_graph=4, drop_path=0.0, cls_head_dropout=0.0,
+              scan_impl="chunked")
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((8, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, 8).astype(np.int32))
+
+    def one_step(cfg, mesh):
+        model = PointMamba(cfg)
+        with jax.set_mesh(mesh):  # init + trace both resolve the context mesh
+            variables = model.init(jax.random.key(0), pts[:2], train=False)
+            tx, _ = build_optimizer(variables["params"], lr=1e-3, epochs=1,
+                                    warmup_epochs=0, steps_per_epoch=1)
+            state = TrainState.create(variables["params"],
+                                      variables["batch_stats"], tx)
+            repl, data = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+            state = jax.device_put(state, repl)
+            step = jax.jit(make_classifier_train_step(model),
+                           in_shardings=(repl, data, data, None),
+                           out_shardings=(repl, repl))
+            new_state, m = step(state, jax.device_put(pts, data),
+                                jax.device_put(labels, data), jax.random.key(1))
+
+            def loss_fn(p, bs, x, y):
+                logits, upd = model.apply(
+                    {"params": p, "batch_stats": bs}, x, train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(2)})
+                per, _ = cross_entropy_loss_acc(logits, y)
+                return jnp.mean(per), upd["batch_stats"]
+
+            (_, bstats), grads = jax.jit(
+                jax.value_and_grad(loss_fn, has_aux=True),
+                in_shardings=(repl, repl, data, data),
+            )(variables["params"], variables["batch_stats"],
+              jax.device_put(pts, data), jax.device_put(labels, data))
+            jax.block_until_ready((m, grads))
+        return m, grads, bstats, new_state
+
+    dp_m, dp_g, dp_bs, dp_state = one_step(
+        PointMambaConfig(**kw), make_mesh(jax.devices()[:8]))
+    tp_m, tp_g, tp_bs, tp_state = one_step(
+        PointMambaConfig(**kw, tp_axis="model"),
+        make_mesh(jax.devices()[:8], axis_names=("data", "model"), shape=(4, 2)))
+
+    np.testing.assert_allclose(float(tp_m["loss"]), float(dp_m["loss"]),
+                               rtol=1e-5)
+    assert float(tp_m["acc"]) == float(dp_m["acc"])
+    assert int(tp_state.step) == int(dp_state.step) == 1
+    gmax = max(float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(dp_g))
+    for a, b in zip(jax.tree.leaves(tp_g), jax.tree.leaves(dp_g)):
+        a, b = np.asarray(a), np.asarray(b)
+        # floor the denominator: bias-before-BatchNorm leaves have
+        # exactly-zero true grads (BN subtracts the mean) — both sides are
+        # float noise there and rel-to-max is meaningless
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-3 * gmax)
+        # 1e-3: the TP psum/partial-product summation order differs from the
+        # dense matmul's, and the scan backward amplifies that fp32 noise
+        # (same conditioning effect measured torch-fp32-vs-fp64 at 1.6e-3)
+        assert rel < 1e-3, rel
+    for a, b in zip(jax.tree.leaves(tp_bs), jax.tree.leaves(dp_bs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)

@@ -203,3 +203,56 @@ def test_seg_run_multichip(tmp_path):
     _assert_replicated(state)
     assert os.path.exists(tmp_path / "ckpt-last")
     assert 0.0 <= best["instance_miou"] <= 1.0
+
+
+def test_per_process_batch_split_and_loader_assembly():
+    """Multi-host global-batch math (reference main.py:72-86): total_bs is
+    split per process, each process's Loader yields a disjoint 1/P index
+    shard, and concatenating the P local batches reassembles exactly one
+    global batch — the data-side contract of shard_batch's
+    make_array_from_process_local_data path."""
+    import pytest
+
+    from si_mamba_tpu.parallel import per_process_batch
+
+    total_bs, P = 16, 4
+    assert per_process_batch(total_bs, P) == 4
+    assert per_process_batch(total_bs, 1) == total_bs
+    with pytest.raises(ValueError, match="divide evenly"):
+        per_process_batch(10, P)
+
+    ds = _CloudDataset(n=32, npoints=16)
+    bs_local = per_process_batch(total_bs, P)
+    loaders = [Loader(ds, bs_local, shuffle=True, drop_last=True, seed=7,
+                      process_index=p, process_count=P, prefetch=0)
+               for p in range(P)]
+    # every process sees the same number of steps = n_total / total_bs
+    assert all(len(ld) == 32 // total_bs for ld in loaders)
+
+    per_proc = [list(ld.epoch(3)) for ld in loaders]
+    for step in range(32 // total_bs):
+        pts = np.concatenate([per_proc[p][step][0] for p in range(P)], 0)
+        labels = np.concatenate([per_proc[p][step][1] for p in range(P)], 0)
+        assert pts.shape == (total_bs, 16, 3)
+        assert labels.shape == (total_bs,)
+    # the epoch's union over processes covers each sample exactly once
+    seen = np.concatenate(
+        [np.concatenate([b[0] for b in bl], 0) for bl in per_proc], 0)
+    uniq = {arr.tobytes() for arr in seen}
+    assert len(uniq) == 32
+
+
+def test_maybe_initialize_distributed_gated_off(monkeypatch):
+    """Without SI_MAMBA_MULTIHOST the bring-up must be a no-op (single-host
+    runs never touch jax.distributed)."""
+    from si_mamba_tpu.parallel import maybe_initialize_distributed
+
+    monkeypatch.delenv("SI_MAMBA_MULTIHOST", raising=False)
+    assert maybe_initialize_distributed() is False
+
+    called = {}
+    monkeypatch.setenv("SI_MAMBA_MULTIHOST", "1")
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: called.setdefault("yes", True))
+    assert maybe_initialize_distributed() is True
+    assert called.get("yes")
