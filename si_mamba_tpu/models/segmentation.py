@@ -16,7 +16,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from si_mamba_tpu.models.embed import PatchEncoder, PosEmbedMLP, trunc_normal_init
+from si_mamba_tpu.models.embed import (
+    PatchEncoder,
+    PosEmbedMLP,
+    TorchBatchNorm,
+    trunc_normal_init,
+)
 from si_mamba_tpu.models.grouping import group_divider
 from si_mamba_tpu.models.layers import Block
 from si_mamba_tpu.models.ordering import hlt_sequence, sast_sequence, xyz_sequence
@@ -157,7 +162,7 @@ class PartSegModel(nn.Module):
         # label conv: 16 -> 64, no bias, BN + LeakyReLU(0.2)
         lbl = nn.Dense(64, use_bias=False, kernel_init=trunc_normal_init(),
                        name="label_conv")(cls_label_onehot.astype(dtype))
-        lbl = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        lbl = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, name="label_bn", dtype=dtype)(lbl)
         lbl = nn.leaky_relu(lbl, 0.2)
         global_feat = jnp.concatenate([x_max, x_avg, lbl], axis=-1)  # (B, 2368)
@@ -171,18 +176,18 @@ class PartSegModel(nn.Module):
         for i, width in enumerate((cfg.trans_dim * 4, 1024)):
             f = nn.Dense(width, kernel_init=trunc_normal_init(),
                          name=f"prop_fc{i+1}")(f)
-            f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            f = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"prop_bn{i+1}", dtype=dtype)(f)
             f = nn.relu(f)
 
         h = jnp.concatenate([f, global_bcast], axis=-1)  # (B, N, 3392)
         h = nn.Dense(512, kernel_init=trunc_normal_init(), name="convs1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bns1", dtype=dtype)(h)
         h = nn.relu(h)
         h = nn.Dropout(0.5)(h, deterministic=not train)
         h = nn.Dense(256, kernel_init=trunc_normal_init(), name="convs2")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bns2", dtype=dtype)(h)
         h = nn.relu(h)
         h = nn.Dense(cfg.cls_dim, kernel_init=trunc_normal_init(), name="convs3")(h)

@@ -35,14 +35,28 @@ def wd_mask(params: Any) -> Any:
 def cosine_warmup_epoch_schedule(base_lr: float, epochs: int, warmup_epochs: int,
                                  steps_per_epoch: int, lr_min: float = 1e-6,
                                  warmup_lr_init: float = 1e-6):
-    """timm CosineLRScheduler(t_in_epochs=True) as an optax schedule on steps."""
+    """timm 0.4.5 CosineLRScheduler as an optax schedule on steps — the EXACT
+    effective per-epoch lr sequence of the reference training loop.
+
+    Reference semantics (tools/builder.py:86-95 + runner_finetune.py:252-256):
+    the scheduler is constructed with ``warmup_prefix=False`` (default) and
+    ``scheduler.step(epoch)`` runs at the END of epoch ``epoch``, so epoch e
+    trains at ``_get_lr(max(e-1, 0))`` where (timm 0.4.5, cycle 0)::
+
+        _get_lr(t) = warmup_lr_init + t * (base - init) / warmup_t   t < warmup_t
+                   = lr_min + (base - lr_min)/2 * (1 + cos(pi*t/t_initial))  else
+
+    Note the cosine runs over t/t_initial with t NOT shifted by warmup
+    (warmup_prefix=False) — the warmup epochs eat into the cosine cycle.
+    Pinned against a replicated-timm torch oracle in tests/test_full_parity.
+    """
 
     def schedule(step):
         epoch = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
-        warm = warmup_lr_init + (base_lr - warmup_lr_init) * epoch / max(warmup_epochs, 1)
-        t = (epoch - warmup_epochs) / max(epochs - warmup_epochs, 1)
-        cos = lr_min + 0.5 * (base_lr - lr_min) * (1.0 + jnp.cos(jnp.pi * t))
-        return jnp.where(epoch < warmup_epochs, warm, cos)
+        t = jnp.maximum(epoch - 1.0, 0.0)  # step(epoch) lags one epoch
+        warm = warmup_lr_init + (base_lr - warmup_lr_init) * t / max(warmup_epochs, 1)
+        cos = lr_min + 0.5 * (base_lr - lr_min) * (1.0 + jnp.cos(jnp.pi * t / max(epochs, 1)))
+        return jnp.where(t < warmup_epochs, warm, cos)
 
     return schedule
 
@@ -51,11 +65,14 @@ def lambda_lr_schedule(base_lr: float, steps_per_epoch: int, *,
                        decay_step: float, lr_decay: float,
                        lowest_decay: float):
     """Reference 'LambdaLR' (utils/misc.py:28-34):
-    lr(e) = base · max(lr_decay^(e / decay_step), lowest_decay)."""
+    lr(e) = base · max(lr_decay^(e / decay_step), lowest_decay), with the
+    same one-epoch lag as CosLR (``scheduler.step(epoch)`` runs at the end
+    of epoch e, so epoch e trains at the epoch-(e-1) value)."""
 
     def schedule(step):
         epoch = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
-        return base_lr * jnp.maximum(lr_decay ** (epoch / decay_step), lowest_decay)
+        t = jnp.maximum(epoch - 1.0, 0.0)
+        return base_lr * jnp.maximum(lr_decay ** (t / decay_step), lowest_decay)
 
     return schedule
 

@@ -42,6 +42,9 @@ _SLOW = {
     "test_pipeline_matches_sequential", "test_pipeline_grads_match_sequential",
     "test_finetune_run_lambda_lr", "test_full_partseg_logp_matches_torch_oracle",
     "test_full_pointmamba_logits_match_torch_oracle_hlt",
+    "test_full_train_step_matches_torch_oracle",
+    "test_dp_tp_composed_train_step_matches_dp_only",
+    "test_vote_step_in_graph_matches_eager_loop",
 }
 
 

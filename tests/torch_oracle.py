@@ -19,7 +19,16 @@ import torch.nn.functional as F
 
 
 def t(sd, key):
-    return torch.from_numpy(np.asarray(sd[key]))
+    v = sd[key]
+    # pass tensors through unconverted so an sd of requires_grad Parameters
+    # makes the whole oracle differentiable (full train-step parity test)
+    return v if isinstance(v, torch.Tensor) else torch.from_numpy(np.asarray(v))
+
+
+# Train-mode BatchNorm switch for the train-step parity test: when True,
+# F.batch_norm normalizes by batch statistics and updates the running stats
+# in-place with torch momentum 0.1 (the reference's nn.BatchNorm1d default).
+BN_TRAINING = False
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +73,7 @@ def group_torch(pts: torch.Tensor, num_group: int, group_size: int):
 def _bn_eval(x, sd, stem):
     return F.batch_norm(x, t(sd, f"{stem}.running_mean"), t(sd, f"{stem}.running_var"),
                         t(sd, f"{stem}.weight"), t(sd, f"{stem}.bias"),
-                        training=False, eps=1e-5)
+                        training=BN_TRAINING, momentum=0.1, eps=1e-5)
 
 
 def encoder_torch(sd: dict, groups: torch.Tensor, prefix: str = "encoder") -> torch.Tensor:
@@ -248,14 +257,20 @@ def mixer_stack_torch(sd: dict, prefix: str, depth: int, x: torch.Tensor,
 # ---------------------------------------------------------------------------
 
 def pointmamba_logits_torch(sd: dict, cfg, pts: np.ndarray,
-                            eig_align: np.ndarray | None = None):
+                            eig_align: np.ndarray | None = None,
+                            return_tensor: bool = False):
     """Returns (logits (B, cls) np, eigvecs (B, G, k) torch or None).
 
     ``eig_align``: JAX eigenvectors to sign-align against (the per-vector
     sign is solver-arbitrary; alignment makes the composed pipelines
     comparable — degeneracy is asserted separately via ``eig_cosines``).
+    ``return_tensor``: keep logits a torch tensor on the autograd tape (for
+    the train-step parity test, where sd holds requires_grad Parameters).
+    A float64 ``pts`` keeps float64 (fp32-conditioning-floor measurements).
     """
-    x = torch.from_numpy(np.asarray(pts, np.float32))
+    pts = np.asarray(pts)
+    x = torch.from_numpy(pts if pts.dtype == np.float64
+                         else pts.astype(np.float32))
     neigh, center = group_torch(x, cfg.num_group, cfg.group_size)
     tokens = encoder_torch(sd, neigh)
     pos = pos_embed_torch(sd, center)
@@ -278,7 +293,9 @@ def pointmamba_logits_torch(sd: dict, cfg, pts: np.ndarray,
                      t(sd, "norm.bias"), eps=1e-5)
     feat = h.mean(dim=1)
     logits = cls_head_torch(sd, feat)
-    return logits.numpy(), eigvecs
+    if return_tensor:
+        return logits, eigvecs
+    return logits.detach().numpy(), eigvecs
 
 
 # ---------------------------------------------------------------------------
