@@ -25,7 +25,25 @@ BASELINE_CLOUDS_PER_SEC = 140.0  # reference logs/finetuned_modelnet40.log (GPU)
 # primary perf criterion is ">=5x CPU-baseline clouds/sec/chip".
 CPU_BASELINE_CLOUDS_PER_SEC = 0.068
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
+# v5e VPU fp32 FMA roofline, measured in this harness (benchmarks/
+# microbench VPU facts, ROADMAP round-2): ~1.25 Tops/s/chip. The train
+# step is VPU-bound (the selective-scan recurrence cannot use the MXU —
+# Mamba-1's per-(d,n) decay blocks a matmul reformulation), so MXU-peak
+# MFU is the wrong denominator; report VPU-roofline utilization too.
+V5E_VPU_FP32_OPS = 1.25e12
 K_STEPS = 10
+
+
+def scan_vpu_gops(B, L, d_model, n_layer, d_state=16, expand=2):
+    """Analytic VPU op count of the 12-layer scan fwd+bwd per train step.
+
+    Per (b, l, d_inner, n) element: fwd ≈ 6 ops (exp(Δ·A), Δ·x·B products,
+    2-op scan FMA, C-contraction), bwd ≈ 14 (state recompute 6, reverse
+    scan 4, dΔ/dx/dB/dC partials 6) — counted from the kernel bodies in
+    ops/pallas/selective_scan_kernel.py. Elementwise gate/D/conv terms are
+    O(B·L·d_inner) and add ~3%."""
+    E = B * L * (expand * d_model) * d_state
+    return n_layer * (6 + 14) * E / 1e9
 
 
 def main():
@@ -142,6 +160,20 @@ def main():
         elat.append((time.perf_counter() - t0) / K_STEPS)
     eval_dt = float(np.median(elat))
 
+    # vote path: ALL 10 stochastic passes in ONE compiled program
+    # (runner_finetune.make_vote_step lax.scan — VERDICT r2 #7); the
+    # reference dispatches them separately (tools/runner_finetune.py:388-396)
+    from si_mamba_tpu.train.runner_finetune import make_vote_step
+
+    vote_step = jax.jit(make_vote_step(model, N, rotation=False, times=10))
+    np.asarray(vote_step(state, pts, jax.random.key(7)))
+    vlat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(vote_step(state, pts, jax.random.key(7)))
+        vlat.append(time.perf_counter() - t0)
+    vote10_dt = float(np.median(vlat))
+
     print(json.dumps({
         "metric": "modelnet40_train_clouds_per_sec_per_chip",
         "value": round(clouds_per_sec, 2),
@@ -156,8 +188,20 @@ def main():
             "vs_cpu_baseline": round(clouds_per_sec / CPU_BASELINE_CLOUDS_PER_SEC, 1),
             "vs_ref_gpu": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
             "mfu_bf16_est": round(mfu, 4),
+            # VPU-roofline view: fraction of the step spent doing scan math
+            # at the measured v5e VPU fp32 peak — the honest utilization
+            # number for this VPU-bound workload (profile:
+            # benchmarks/profile_train_step.json — scan kernels are 46 of
+            # the 65 device-ms, each within ~15% of this roofline)
+            "vpu_roofline_util_est": round(
+                scan_vpu_gops(B, cfg.seq_len, cfg.trans_dim, cfg.depth) * 1e9
+                / dt / V5E_VPU_FP32_OPS, 3),
+            "scan_vpu_gops_est": round(
+                scan_vpu_gops(B, cfg.seq_len, cfg.trans_dim, cfg.depth), 1),
             "step_tflops_xla_est": round(step_flops / 1e12, 3),
             "eval_clouds_per_sec": round(B / eval_dt, 2),
+            "vote10_ms_per_batch": round(vote10_dt * 1e3, 1),
+            "vote_clouds_per_sec": round(B / vote10_dt, 1),
             "spectral_p50_ms": round(spectral_p50_ms, 3),
             "spectral_subspace_p50_ms": round(spectral_subspace_p50_ms, 3),
             "batch": B,

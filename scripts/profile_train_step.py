@@ -1,0 +1,153 @@
+"""Per-op device-time profile of the ModelNet40 train step on the real TPU.
+
+Captures a jax.profiler trace of the bench.py workload (B=32 bf16+subspace
+train step), parses the xplane proto, and writes a sorted per-op table with
+a category breakdown (scan kernels / conv kernels / matmul / eigh / fusion
+glue) to ``benchmarks/profile_train_step.json``.
+
+Run (axon tunnel):
+  PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
+    JAX_PLATFORMS=tpu timeout 1800 python scripts/profile_train_step.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K_STEPS = 10
+
+
+def capture(tracedir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState, make_classifier_train_step
+
+    B, N = 32, 1024
+    cfg = PointMambaConfig(dtype="bfloat16", spectral_method="subspace")
+    model = PointMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 40, B).astype(np.int32))
+    variables = model.init(jax.random.key(0), pts[:2], train=False)
+    tx, _ = build_optimizer(variables["params"], lr=3e-4, epochs=300,
+                            warmup_epochs=10, steps_per_epoch=300)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step_fn = make_classifier_train_step(model)
+
+    @jax.jit
+    def multi_step(state, pts, labels, key):
+        def body(st, _):
+            st, m = step_fn(st, pts, labels, key)
+            return st, m["loss"]
+
+        state, losses = lax.scan(body, state, jnp.arange(K_STEPS))
+        return state, losses
+
+    key = jax.random.key(1)
+    state, losses = multi_step(state, pts, labels, key)
+    np.asarray(losses)  # warm compile + sync
+    t0 = time.perf_counter()
+    state, losses = multi_step(state, pts, labels, key)
+    np.asarray(losses)
+    wall_ms = (time.perf_counter() - t0) / K_STEPS * 1e3
+    print(f"step wall (amortized): {wall_ms:.2f} ms")
+
+    jax.profiler.start_trace(tracedir)
+    state, losses = multi_step(state, pts, labels, key)
+    np.asarray(losses)
+    jax.profiler.stop_trace()
+
+
+def parse(tracedir: str) -> dict:
+    """Aggregate per-op device time from the xplane proto ('XLA Ops' line of
+    the TPU plane)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(tracedir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane under {tracedir}"
+    ops = {}
+    total_ps = 0
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "/device:" not in plane.name:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    ops[name] = ops.get(name, 0) + ev.duration_ps
+                    total_ps += ev.duration_ps
+    return ops, total_ps
+
+
+CATS = [
+    ("scan_bwd", lambda n: "bwd" in n and ("fusion" in n or "custom-call" in n)
+        and "scan" in n),
+    ("pallas_scan", lambda n: "tpu_custom_call" in n or "custom-call" in n),
+    ("matmul", lambda n: n.startswith(("dot", "convolution"))
+        or ".dot" in n or "gemm" in n),
+    ("eigh_qr", lambda n: any(k in n for k in ("eigh", "qr", "cholesky",
+                                               "triangular"))),
+    ("sort_topk", lambda n: "sort" in n or "top-k" in n or "topk" in n),
+    ("fusion", lambda n: n.startswith("fusion")),
+    ("copy_reshape", lambda n: any(k in n for k in ("copy", "transpose",
+                                                    "reshape", "bitcast"))),
+]
+
+
+def categorize(name: str) -> str:
+    for cat, pred in CATS:
+        if pred(name):
+            return cat
+    return "other"
+
+
+def main():
+    tracedir = "/tmp/si_mamba_trace"
+    os.makedirs(tracedir, exist_ok=True)
+    capture(tracedir)
+    ops, total_ps = parse(tracedir)
+    rows = sorted(ops.items(), key=lambda kv: -kv[1])
+    per_step = lambda ps: ps / 1e9 / K_STEPS  # ps -> ms, amortized
+    cats = {}
+    for name, ps in rows:
+        c = categorize(name)
+        cats[c] = cats.get(c, 0.0) + per_step(ps)
+    out = {
+        "total_device_ms_per_step": round(per_step(total_ps), 3),
+        "categories_ms": {k: round(v, 3) for k, v in
+                          sorted(cats.items(), key=lambda kv: -kv[1])},
+        "top_ops_ms": [
+            {"op": name[:120], "ms": round(per_step(ps), 4)}
+            for name, ps in rows[:60]
+        ],
+    }
+    dst = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "profile_train_step.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"total_ms": out["total_device_ms_per_step"],
+                      "categories": out["categories_ms"]}, indent=1))
+    print(f"written: {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,9 @@ class PointMAEConfig:
     sinkhorn_target: str = "sorted"
     # compute
     scan_impl: str = "auto"
+    # 'eigh' exact Gram eigendecomposition; 'jacobi' = exact matmul-only
+    # parallel-Jacobi eigh (ops/jacobi.py — TPU perf path, parity-gated)
+    wavelet_solver: str = "eigh"
     dtype: str = "float32"
 
     @property
@@ -180,7 +183,8 @@ class PointMAEMamba(nn.Module):
                               symmetric=cfg.symmetric, self_loop=cfg.self_loop,
                               binary=cfg.binary, gaussian_sigma=(cfg.alpha == 0))
             L = rw_laplacian(A, eps=1e-6, eps_mode="clamp")
-            coeffs = DiffusionWaveletSGWT(J=cfg.wavelet_J, in_features=3, dtype=dtype,
+            coeffs = DiffusionWaveletSGWT(J=cfg.wavelet_J, in_features=3,
+                                          solver=cfg.wavelet_solver, dtype=dtype,
                                           name="diff_sgwt")(
                 center, L, tau=tau, deterministic=not train)
             scores = scale_scores(coeffs, k=K)  # (B, G, K)

@@ -64,13 +64,71 @@ def chebyshev_sgwt(x: jax.Array, laplacian: jax.Array, K: int = 25, J: int = 4,
 # Diffusion wavelets (reference DiffusionWavelets.fit, :1852-1944)
 # ---------------------------------------------------------------------------
 
-def diffusion_wavelet_bases(L: jax.Array, J: int) -> tuple[list[jax.Array], jax.Array]:
+def _expm_neg_psd(A: jax.Array, scale: float, terms: int = 8,
+                  squarings: int = 4) -> jax.Array:
+    """``expm(-scale · A)`` for batched PSD ``A`` with spectrum in [0, 2] —
+    matmul-only scaling-and-squaring Taylor (MXU path).
+
+    ``jax.scipy.linalg.expm`` lowers to Padé-13 with batched LU/triangular
+    solves, which (like tiny batched eigh) is pathologically slow on TPU at
+    these sizes. With X = -scale·A/2^s, ‖X‖ ≤ 2·scale/2^s ≤ 0.18 at the
+    largest diffusion scale, an 8-term Horner Taylor is accurate to ~1e-12
+    and every op is a (B, N, N) matmul.
+    """
+    B, N, _ = A.shape
+    I = jnp.eye(N, dtype=A.dtype)
+    X = (-scale / (1 << squarings)) * A
+    T = I + X / terms
+    for k in range(terms - 1, 0, -1):
+        T = I + (X / k) @ T
+    for _ in range(squarings):
+        T = T @ T
+    return T
+
+
+def _topk_colspace(M: jax.Array, k: int, iters: int = 12,
+                   qr_every: int = 4) -> jax.Array:
+    """Orthonormal basis (B, N, k) of the dominant-k column space of
+    (B, N, r) ``M`` — matmul + QR only (no eigh).
+
+    Subspace iteration on the Gram matrix C = MᵀM (PSD): Q ← orth(C·Q)
+    converges to the top-k right-singular subspace; the returned basis is
+    orth(M·Q), the matching left subspace. Any orthonormal basis of that
+    span is EXACTLY equivalent downstream: diffusion_wavelet_bases consumes
+    V_bases only through projectors Vj·Vjᵀ and span complements, all
+    invariant to an orthogonal change of basis (see test_sinkhorn_wavelets
+    subspace-parity test).
+    """
+    r = M.shape[-1]
+    C = jnp.matmul(jnp.swapaxes(M, -1, -2), M)  # (B, r, r)
+    # deterministic start: leading k columns of C (hits dominant directions)
+    Q = C[..., :, :k]
+    Q, _ = jnp.linalg.qr(Q)
+    for i in range(iters):
+        Q = jnp.matmul(C, Q)
+        if (i + 1) % qr_every == 0 or i == iters - 1:
+            Q, _ = jnp.linalg.qr(Q)
+    U, _ = jnp.linalg.qr(jnp.matmul(M, Q))
+    return U
+
+
+def diffusion_wavelet_bases(L: jax.Array, J: int, solver: str = "eigh"
+                            ) -> tuple[list[jax.Array], jax.Array]:
     """Orthonormal diffusion-wavelet bases on batched Laplacians.
 
     L: (B, N, N). Returns (W list of (B, N, r_j) for j=0..J-1, VJ (B, N, r_J)).
     Scale construction: T_j = expm(-log2/lam_max · 2^{j-1} · L); rank
     schedule r_j = ceil(N / 2^j); low-rank factor via Gram eigh; wavelet
     complements via projection + QR — all batched.
+
+    ``solver``: 'eigh' = exact Gram eigendecomposition (XLA batched eigh —
+    pathologically slow on TPU at these tiny sizes, ~27 ms of the pretrain
+    step, ROADMAP round-3); 'jacobi' = EXACT matmul-only parallel Jacobi
+    eigh + scaling-squaring expm (ops/jacobi.py — the TPU perf path; same
+    selection semantics as 'eigh', parity-gated in tests); 'subspace' =
+    matmul-only subspace iteration (kept for reference: the diffusion
+    Gram spectrum is near-degenerate at the rank cut, so its spans converge
+    too slowly — use 'jacobi').
     """
     B, N, _ = L.shape
     lam_max = 2.0
@@ -80,14 +138,26 @@ def diffusion_wavelet_bases(L: jax.Array, J: int) -> tuple[list[jax.Array], jax.
     V_bases = [V_prev]
     for j in range(1, J + 1):
         k = max(1, -(-N // (1 << j)))  # ceil(N / 2^j)
-        T = jax.scipy.linalg.expm(-t0 * (2.0 ** (j - 1)) * L)
+        scale = t0 * (2.0 ** (j - 1))
+        if solver in ("subspace", "jacobi"):
+            T = _expm_neg_psd(L, scale)
+        else:
+            T = jax.scipy.linalg.expm(-scale * L)
         M = jnp.matmul(T, V_prev)  # (B, N, r_prev)
-        C = jnp.matmul(jnp.swapaxes(M, -1, -2), M)  # (B, r, r) Gram
-        evals, V = jnp.linalg.eigh(C.astype(jnp.float32))
-        V_k = V[..., -k:][..., ::-1]
-        sigma = jnp.sqrt(jnp.clip(evals[..., -k:], 1e-12))[..., ::-1]
-        U_k = jnp.matmul(M, V_k.astype(L.dtype))
-        Vj = U_k / sigma[:, None, :].astype(L.dtype)
+        if solver == "subspace":
+            Vj = _topk_colspace(M, k)
+        else:
+            C = jnp.matmul(jnp.swapaxes(M, -1, -2), M)  # (B, r, r) Gram
+            if solver == "jacobi":
+                from si_mamba_tpu.ops.jacobi import jacobi_eigh
+
+                evals, V = jacobi_eigh(C.astype(jnp.float32))
+            else:
+                evals, V = jnp.linalg.eigh(C.astype(jnp.float32))
+            V_k = V[..., -k:][..., ::-1]
+            sigma = jnp.sqrt(jnp.clip(evals[..., -k:], 1e-12))[..., ::-1]
+            U_k = jnp.matmul(M, V_k.astype(L.dtype))
+            Vj = U_k / sigma[:, None, :].astype(L.dtype)
         V_bases.append(Vj)
         V_prev = Vj
 
@@ -112,13 +182,15 @@ class DiffusionWaveletSGWT(nn.Module):
     J: int = 3
     in_features: int = 3
     hidden: int = 64
+    solver: str = "eigh"  # 'eigh' exact | 'jacobi' matmul-only exact (TPU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, L: jax.Array, tau: Optional[float] = 0.5,
                  deterministic: bool = True) -> jax.Array:
         B, N, F = x.shape
-        W_list, VJ = diffusion_wavelet_bases(L.astype(jnp.float32), self.J)
+        W_list, VJ = diffusion_wavelet_bases(L.astype(jnp.float32), self.J,
+                                             solver=self.solver)
 
         ortho = nn.initializers.orthogonal()
         h = nn.Dense(self.hidden, name="pos_embed_fc1")(x.astype(self.dtype))

@@ -192,3 +192,87 @@ def test_chebyshev_sgwt_shapes():
     assert out.shape == (2, 32, 3 * 5)
     out2 = chebyshev_sgwt(pts, L, K=10, tight_frame=False, scales=[0.1, 0.5])
     assert out2.shape == (2, 32, 6)
+
+
+def test_diffusion_bases_jacobi_matches_eigh():
+    """The matmul-only wavelet solver ('jacobi': scaling-squaring expm +
+    parallel-Jacobi Gram eigh, ops/jacobi.py) must reproduce the exact
+    'eigh' path's SPANS: every projector Vj·Vjᵀ / Wj·Wjᵀ agrees (the bases
+    themselves may differ in sign/degenerate rotations — downstream
+    consumes projections only). The 'subspace' iteration solver is also
+    checked for orthonormality (its spans cannot converge at the
+    near-degenerate rank cut — why 'jacobi' is the perf path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from si_mamba_tpu.ops.graph import knn_adjacency, rw_laplacian
+    from si_mamba_tpu.ops.wavelets import diffusion_wavelet_bases
+
+    r = np.random.default_rng(3)
+    center = jnp.asarray(r.standard_normal((4, 64, 3)).astype(np.float32))
+    A = knn_adjacency(center, k=8, alpha=10.0, symmetric=True,
+                      self_loop=False, binary=True)
+    L = rw_laplacian(A, eps=1e-6, eps_mode="clamp").astype(jnp.float32)
+
+    W_e, VJ_e = diffusion_wavelet_bases(L, J=3, solver="eigh")
+    W_j, VJ_j = diffusion_wavelet_bases(L, J=3, solver="jacobi")
+
+    def proj(V):
+        return np.asarray(jnp.matmul(V, jnp.swapaxes(V, -1, -2)))
+
+    for We, Wj in zip(W_e, W_j):
+        assert We.shape == Wj.shape
+        d = np.abs(proj(We) - proj(Wj)).max()
+        assert d < 2e-2, d  # exact solver parity (degenerate-cluster noise)
+    d = np.abs(proj(VJ_e) - proj(VJ_j)).max()
+    assert d < 2e-2, d
+
+    W_s, VJ_s = diffusion_wavelet_bases(L, J=3, solver="subspace")
+    for V in W_s + [VJ_s] + W_j + [VJ_j]:
+        k = V.shape[-1]
+        G = np.asarray(jnp.einsum("bni,bnj->bij", V, V))
+        np.testing.assert_allclose(G, np.broadcast_to(np.eye(k), G.shape),
+                                   atol=1e-4)
+
+
+def test_jacobi_eigh_matches_xla_eigh():
+    """ops/jacobi.jacobi_eigh vs jnp.linalg.eigh: eigenvalues + spectral
+    reconstruction + orthonormality, even/odd n."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from si_mamba_tpu.ops.jacobi import jacobi_eigh
+
+    r = np.random.default_rng(0)
+    for B, n in [(4, 16), (2, 64), (3, 33)]:
+        X = r.standard_normal((B, n, n)).astype(np.float32)
+        A = (X + X.transpose(0, 2, 1)) / 2
+        vals, V = jacobi_eigh(jnp.asarray(A))
+        vr = np.linalg.eigvalsh(A)
+        assert np.abs(np.asarray(vals) - vr).max() / np.abs(vr).max() < 1e-4
+        rec = np.einsum("bik,bk,bjk->bij", np.asarray(V), np.asarray(vals),
+                        np.asarray(V))
+        assert np.abs(rec - A).max() / np.abs(A).max() < 1e-4
+        orth = np.einsum("bki,bkj->bij", np.asarray(V), np.asarray(V))
+        np.testing.assert_allclose(orth, np.broadcast_to(np.eye(n), orth.shape),
+                                   atol=1e-5)
+
+
+def test_expm_neg_psd_matches_scipy_expm():
+    import jax.numpy as jnp
+    import numpy as np
+    import jax
+
+    from si_mamba_tpu.ops.graph import knn_adjacency, rw_laplacian
+    from si_mamba_tpu.ops.wavelets import _expm_neg_psd, tril_sym
+
+    r = np.random.default_rng(5)
+    center = jnp.asarray(r.standard_normal((2, 32, 3)).astype(np.float32))
+    A = knn_adjacency(center, k=6, alpha=10.0, symmetric=True,
+                      self_loop=False, binary=True)
+    L = rw_laplacian(A, eps=1e-6, eps_mode="clamp").astype(jnp.float32)
+    for scale in (0.347, 1.386):
+        ref = jax.scipy.linalg.expm(-scale * L)
+        got = _expm_neg_psd(L, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
