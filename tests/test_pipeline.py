@@ -66,3 +66,43 @@ def test_pipeline_grads_match_sequential(setup):
         leaf = np.asarray(leaf)
         err = np.abs(got - leaf).max()
         assert err < 1e-5 + 1e-3 * np.abs(leaf).max(), (path, err)
+
+
+def test_pipeline_full_classifier_logits_match():
+    """pipeline_pointmamba_logits (full composition: ordering → pipelined
+    stack → head) == PointMamba.apply on an 8-stage pipe mesh, with
+    n_micro != n_stages (VERDICT r2 #6)."""
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.pipeline import pipeline_pointmamba_logits
+
+    cfg = PointMambaConfig(trans_dim=32, depth=8, cls_dim=4, group_size=8,
+                           num_group=16, encoder_dims=32, knn_graph=4,
+                           drop_path=0.0, scan_impl="chunked")
+    model = PointMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((8, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), pts[:2], train=False)
+    ref = np.asarray(model.apply(variables, pts, train=False))
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("pipe",))
+    for n_micro in (8, 4, 2):  # covers n_micro != n_stages both ways
+        got = np.asarray(jax.jit(
+            lambda v, p, m=n_micro: pipeline_pointmamba_logits(
+                v, cfg, p, mesh=mesh, n_micro=m))(variables, pts))
+        np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-5,
+                                   err_msg=f"n_micro={n_micro}")
+
+
+def test_pipeline_non_divisible_depth_raises():
+    from si_mamba_tpu.parallel.pipeline import stack_mixer_params
+
+    params = {f"layers_{i}": {"norm": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+                              "mixer": {k: jnp.zeros(4) for k in
+                                        ("in_proj", "conv1d_weight", "conv1d_bias",
+                                         "x_proj", "dt_proj", "dt_proj_bias",
+                                         "A_log", "D", "out_proj")}}
+              for i in range(6)}
+    params["norm_f"] = {"scale": jnp.ones(4), "bias": jnp.zeros(4)}
+    with pytest.raises(ValueError, match="divide the stack depth"):
+        stack_mixer_params(params, 6, 4)
