@@ -68,6 +68,7 @@ def capture(tracedir: str) -> None:
     state, losses = multi_step(state, pts, labels, key)
     np.asarray(losses)
     jax.profiler.stop_trace()
+    return wall_ms
 
 
 def parse(tracedir: str) -> dict:
@@ -79,6 +80,7 @@ def parse(tracedir: str) -> dict:
                       recursive=True)
     assert paths, f"no xplane under {tracedir}"
     ops = {}
+    wrappers_ps = 0
     total_ps = 0
     for path in paths:
         xs = xplane_pb2.XSpace()
@@ -93,9 +95,19 @@ def parse(tracedir: str) -> dict:
                     continue
                 for ev in line.events:
                     name = ev_meta.get(ev.metadata_id, "?")
+                    # Control-flow wrapper ops (the outer K-step lax.scan
+                    # while, conditionals, calls) report durations that
+                    # INCLUDE their children, which appear on the same
+                    # line — counting them double-books every leaf op
+                    # (the round-2 artifact's 130 ms "total" for a 68 ms
+                    # step). Track them separately; totals are leaf-only.
+                    if name.lstrip("%").startswith(("while", "conditional",
+                                                    "call")):
+                        wrappers_ps += ev.duration_ps
+                        continue
                     ops[name] = ops.get(name, 0) + ev.duration_ps
                     total_ps += ev.duration_ps
-    return ops, total_ps
+    return ops, total_ps, wrappers_ps
 
 
 CATS = [
@@ -114,6 +126,7 @@ CATS = [
 
 
 def categorize(name: str) -> str:
+    name = name.lstrip("%")
     for cat, pred in CATS:
         if pred(name):
             return cat
@@ -122,9 +135,14 @@ def categorize(name: str) -> str:
 
 def main():
     tracedir = "/tmp/si_mamba_trace"
+    # Each start_trace writes a new plugins/profile/<ts>/*.xplane.pb; stale
+    # files from earlier runs would be summed by the glob (leaf totals came
+    # out exactly 2x wall when two runs accumulated) — start clean.
+    import shutil
+    shutil.rmtree(tracedir, ignore_errors=True)
     os.makedirs(tracedir, exist_ok=True)
-    capture(tracedir)
-    ops, total_ps = parse(tracedir)
+    wall_ms = capture(tracedir)
+    ops, total_ps, wrappers_ps = parse(tracedir)
     rows = sorted(ops.items(), key=lambda kv: -kv[1])
     per_step = lambda ps: ps / 1e9 / K_STEPS  # ps -> ms, amortized
     cats = {}
@@ -132,7 +150,11 @@ def main():
         c = categorize(name)
         cats[c] = cats.get(c, 0.0) + per_step(ps)
     out = {
-        "total_device_ms_per_step": round(per_step(total_ps), 3),
+        "step_wall_ms": round(wall_ms, 3),
+        "leaf_device_ms_per_step": round(per_step(total_ps), 3),
+        "control_flow_wrapper_ms_per_step": round(per_step(wrappers_ps), 3),
+        "note": "wrapper ops (outer lax.scan while etc) include their "
+                "children's time and are excluded from leaf totals/categories",
         "categories_ms": {k: round(v, 3) for k, v in
                           sorted(cats.items(), key=lambda kv: -kv[1])},
         "top_ops_ms": [
@@ -144,7 +166,8 @@ def main():
         os.path.abspath(__file__))), "benchmarks", "profile_train_step.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"total_ms": out["total_device_ms_per_step"],
+    print(json.dumps({"step_wall_ms": out["step_wall_ms"],
+                      "leaf_ms": out["leaf_device_ms_per_step"],
                       "categories": out["categories_ms"]}, indent=1))
     print(f"written: {dst}")
 
