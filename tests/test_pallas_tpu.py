@@ -89,3 +89,30 @@ def test_pallas_native_causal_conv_matches_oracle():
         rel = np.abs(np.asarray(a) - np.asarray(b_)) / (
             np.abs(np.asarray(b_)).max() + 1e-8)
         assert rel.max() < 1e-4, rel.max()
+
+
+def test_pallas_native_full_config_logits():
+    """Full published-config logits through scan_impl='pallas' vs the XLA
+    chunked path, both Mosaic/XLA-compiled on the v5e (VERDICT r2 #4): a
+    kernel or lowering regression at the production shape now surfaces as a
+    parity failure, not just a bench delta. Tolerance follows the kernel's
+    known ~3e-5 grad / 3e-4 output error."""
+    import dataclasses
+
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+
+    cfg = PointMambaConfig(drop_path=0.0)  # ModelNet40 finetune model block
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((8, 1024, 3)).astype(np.float32))
+    model_p = PointMamba(dataclasses.replace(cfg, scan_impl="pallas"))
+    model_c = PointMamba(dataclasses.replace(cfg, scan_impl="chunked"))
+    variables = model_p.init(jax.random.key(0), pts[:2], train=False)
+
+    logits_p = np.asarray(jax.jit(
+        lambda v, p: model_p.apply(v, p, train=False))(variables, pts))
+    logits_c = np.asarray(jax.jit(
+        lambda v, p: model_c.apply(v, p, train=False))(variables, pts))
+    assert np.isfinite(logits_p).all()
+    scale = max(1.0, float(np.abs(logits_c).max()))
+    np.testing.assert_allclose(logits_p, logits_c, rtol=3e-4,
+                               atol=3e-4 * scale)
