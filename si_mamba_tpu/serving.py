@@ -55,7 +55,10 @@ class Predictor:
     variables: Mapping
     npoints: int = 1024
     max_batch: int = 64
-    input_points: Optional[int] = None  # expected request N; default npoints
+    # Accepted request N(s): an int or a sequence of ints (e.g. (1024, 2048)
+    # compiles one program family per N — jit caches by shape, so extra
+    # N-buckets cost only warmup compiles, not serve-time latency).
+    input_points: Optional[object] = None  # default: (npoints,)
     allow_recompile: bool = False
 
     def __post_init__(self):
@@ -66,6 +69,14 @@ class Predictor:
         self.variables = jax.device_put(self.variables)
         if self.input_points is None:
             self.input_points = self.npoints
+        if isinstance(self.input_points, int):
+            self.input_points = (self.input_points,)
+        self.input_points = tuple(int(n) for n in self.input_points)
+        bad = [n for n in self.input_points if n < self.npoints]
+        if bad:
+            raise ValueError(
+                f"input_points {bad} < npoints={self.npoints}: the serve path "
+                f"FPS-downsamples each request to npoints and cannot upsample")
         model, npoints = self.model, self.npoints
 
         @jax.jit
@@ -125,19 +136,19 @@ class Predictor:
         """clouds: (n, N, 3), any n — padded to the nearest bucket, chunked
         at max_batch. Returns (n, cls_dim).
 
-        N must equal ``input_points`` (each distinct N is a fresh XLA
+        N must be one of ``input_points`` (each distinct N is a fresh XLA
         compile — minutes on a tunneled chip — so an unexpected shape
         raises unless ``allow_recompile=True``)."""
         clouds = np.asarray(clouds, np.float32)
         n = clouds.shape[0]
         if n == 0:
             return np.zeros((0, self.model.config.cls_dim), np.float32)
-        if clouds.shape[1] != self.input_points and not self.allow_recompile:
+        if clouds.shape[1] not in self.input_points and not self.allow_recompile:
             raise ValueError(
                 f"request has {clouds.shape[1]} points but the predictor was "
                 f"compiled for {self.input_points}; resample on the host or "
                 f"construct with allow_recompile=True / input_points="
-                f"{clouds.shape[1]}")
+                f"{self.input_points + (clouds.shape[1],)}")
         outs = []
         for s0 in range(0, n, self.max_batch):
             part = clouds[s0:s0 + self.max_batch]
@@ -159,7 +170,9 @@ class Predictor:
         return self.logits(clouds).argmax(axis=-1)
 
     def warmup(self) -> None:
-        """Pre-compile every bucket shape (call once before serving)."""
-        for b in self._bucket_list:
-            dummy = np.zeros((b, self.input_points, 3), np.float32)
-            np.asarray(self._fwd(self.variables, jnp.asarray(dummy)))
+        """Pre-compile every (batch-bucket, N-bucket) shape (call once
+        before serving)."""
+        for n_pts in self.input_points:
+            for b in self._bucket_list:
+                dummy = np.zeros((b, n_pts, 3), np.float32)
+                np.asarray(self._fwd(self.variables, jnp.asarray(dummy)))

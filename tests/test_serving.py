@@ -63,6 +63,30 @@ def test_predictor_fps_resamples_oversized_clouds():
     assert p.logits(np.zeros((0, 128, 3), np.float32)).shape == (0, 4)
 
 
+def test_predictor_multiple_n_buckets():
+    """input_points=(N1, N2): both request shapes serve without
+    allow_recompile, per-example results match the single-N predictor, and
+    N < npoints is rejected up front (the serve path cannot upsample)."""
+    import pytest as _pytest
+
+    p, model, variables = _small_predictor(max_batch=4)
+    p2 = Predictor(model=model, variables=variables, npoints=128,
+                   max_batch=4, input_points=(128, 200))
+    rng = np.random.default_rng(3)
+    for n_pts in (128, 200):
+        clouds = rng.standard_normal((3, n_pts, 3)).astype(np.float32)
+        logits = p2.logits(clouds)
+        assert logits.shape == (3, 4)
+        assert np.isfinite(logits).all()
+        if n_pts == 128:
+            np.testing.assert_allclose(logits, p.logits(clouds),
+                                       rtol=2e-5, atol=2e-5)
+    with _pytest.raises(ValueError, match="cannot upsample"):
+        Predictor(model=model, variables=variables, npoints=128,
+                  max_batch=4, input_points=(128, 64))
+    p2.warmup()  # tuple input_points must warm every (bucket, N) pair
+
+
 def test_predictor_from_orbax_checkpoint(tmp_path):
     from si_mamba_tpu.train import checkpoint as ckpt
     from si_mamba_tpu.train.optim import build_optimizer
