@@ -3,11 +3,13 @@
 Captures a jax.profiler trace of the bench.py workload (B=32 bf16+subspace
 train step), parses the xplane proto, and writes a sorted per-op table with
 a category breakdown (scan kernels / conv kernels / matmul / eigh / fusion
-glue) to ``benchmarks/profile_train_step.json``.
+glue) to ``benchmarks/profile_train_step.json``. With ``--pretrain``,
+profiles the MAE pretrain step instead (B=128, cfgs/pretrain.yaml shape,
+bf16 + jacobi wavelet solver) into ``profile_pretrain_step.json``.
 
 Run (axon tunnel):
   PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
-    JAX_PLATFORMS=tpu timeout 1800 python scripts/profile_train_step.py
+    JAX_PLATFORMS=tpu timeout 1800 python scripts/profile_train_step.py [--pretrain]
 """
 
 from __future__ import annotations
@@ -68,6 +70,60 @@ def capture(tracedir: str) -> None:
     state, losses = multi_step(state, pts, labels, key)
     np.asarray(losses)
     jax.profiler.stop_trace()
+    return wall_ms
+
+
+def capture_pretrain(tracedir: str) -> float:
+    global K_STEPS
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from si_mamba_tpu.models.point_mae import PointMAEConfig, PointMAEMamba
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.runner_pretrain import make_pretrain_step
+    from si_mamba_tpu.train.train_state import TrainState
+
+    B, N = 128, 1024
+    cfg = dataclasses.replace(PointMAEConfig(dtype="bfloat16"),
+                              wavelet_solver="jacobi")
+    model = PointMAEMamba(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1),
+         "gumbel": jax.random.key(2)}, pts[:2], train=False)
+    tx, _ = build_optimizer(variables["params"], lr=1e-3, epochs=300,
+                            warmup_epochs=10, steps_per_epoch=400)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step_fn = make_pretrain_step(model)
+    k = max(1, K_STEPS // 2)  # the pretrain step is ~4x the finetune step
+
+    @jax.jit
+    def multi_step(state, pts, key):
+        def body(st, _):
+            st, m = step_fn(st, pts, key, 0.5)
+            return st, m["loss"]
+
+        state, losses = lax.scan(body, state, jnp.arange(k))
+        return state, losses
+
+    key = jax.random.key(3)
+    state, losses = multi_step(state, pts, key)
+    np.asarray(losses)
+    t0 = time.perf_counter()
+    state, losses = multi_step(state, pts, key)
+    np.asarray(losses)
+    wall_ms = (time.perf_counter() - t0) / k * 1e3
+    print(f"pretrain step wall (amortized): {wall_ms:.2f} ms")
+
+    jax.profiler.start_trace(tracedir)
+    state, losses = multi_step(state, pts, key)
+    np.asarray(losses)
+    jax.profiler.stop_trace()
+    K_STEPS = k  # parse() amortizes by the actual in-graph step count
     return wall_ms
 
 
@@ -134,6 +190,7 @@ def categorize(name: str) -> str:
 
 
 def main():
+    pretrain = "--pretrain" in sys.argv[1:]
     tracedir = "/tmp/si_mamba_trace"
     # Each start_trace writes a new plugins/profile/<ts>/*.xplane.pb; stale
     # files from earlier runs would be summed by the glob (leaf totals came
@@ -141,7 +198,7 @@ def main():
     import shutil
     shutil.rmtree(tracedir, ignore_errors=True)
     os.makedirs(tracedir, exist_ok=True)
-    wall_ms = capture(tracedir)
+    wall_ms = (capture_pretrain if pretrain else capture)(tracedir)
     ops, total_ps, wrappers_ps = parse(tracedir)
     rows = sorted(ops.items(), key=lambda kv: -kv[1])
     per_step = lambda ps: ps / 1e9 / K_STEPS  # ps -> ms, amortized
@@ -162,8 +219,10 @@ def main():
             for name, ps in rows[:60]
         ],
     }
-    dst = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "benchmarks", "profile_train_step.json")
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks",
+        "profile_pretrain_step.json" if pretrain else "profile_train_step.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"step_wall_ms": out["step_wall_ms"],
