@@ -57,7 +57,15 @@ def jacobi_eigh(A: jax.Array, sweeps: int | None = None
     B, n, _ = A.shape
     if sweeps is None:
         # measured convergence (fp32 random symmetric): n<=64 done at 10
-        # sweeps (recon 3e-6), n=128 at 14 (1e-5); margin +0
+        # sweeps (recon 3e-6), n=128 at 14 (1e-5). Larger n is unmeasured
+        # AND impractical (the n-1 round-robin rotation rounds are traced
+        # inline: compile size grows as n·sweeps) — refuse rather than
+        # silently under-converge; the exact XLA eigh solver covers it.
+        if n > 128:
+            raise ValueError(
+                f"jacobi_eigh default sweep count is only validated to "
+                f"n=128 (got n={n}); pass sweeps= explicitly or use the "
+                f"exact 'eigh' solver")
         sweeps = 10 if n <= 64 else 14
     n0 = n
     if n % 2 == 1:

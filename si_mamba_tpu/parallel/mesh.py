@@ -132,12 +132,93 @@ def dp_eval_jit(step_fn, mesh: Mesh, n_batch: int = 1, n_extra: int = 0):
                     [jnp.asarray(b),
                      jnp.repeat(jnp.asarray(b)[-1:], n_pad - n, axis=0)], 0)
                 for b in batch)
-        out = jitted(state, *batch, *extras)
+        # run under THIS mesh's context: the runner installs the global
+        # mesh via jax.set_mesh, but multi-host eval uses the per-process
+        # local_eval_mesh — a mismatched context mesh fails the jit with
+        # "incompatible devices" (and in-model shard_map needs the right one)
+        ctx = jax.set_mesh(mesh)
+        try:
+            out = jitted(state, *batch, *extras)
+        finally:
+            ctx.__exit__(None, None, None)
         if n_pad != n:
             out = jax.tree.map(lambda o: o[:n], out)
         return out
 
     return call
+
+
+def local_eval_mesh(mesh: Mesh) -> Mesh:
+    """Mesh for eval/metric loops: the global mesh on single-process runs,
+    a per-process mesh over ``jax.local_devices()`` on multi-host runs.
+
+    Eval consumes process-local loader shards and reads back per-example
+    outputs — the reference evaluates per rank and all-reduces the counts
+    (tools/runner_finetune.py:328-330, utils/dist_utils.py:41-54). A
+    global-mesh eval program would instead require globally-assembled
+    ragged batches and non-addressable output readbacks for no benefit.
+
+    Non-data axes (e.g. a tensor-parallel 'model' axis) keep their extent —
+    only the 'data' axis shrinks by the process count — so in-model
+    shard_map collectives still resolve. This assumes each model-parallel
+    group fits within one host (the standard layout).
+    """
+    if jax.process_count() == 1:
+        return mesh
+    local = jax.local_devices()
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    rest = 1
+    for k, v in shape.items():
+        if k != "data":
+            rest *= int(v)
+    if len(local) % rest != 0:
+        raise ValueError(
+            f"local device count {len(local)} not divisible by the non-data "
+            f"axis extents {shape} — shrink tp_size or realign hosts")
+    new_shape = tuple(len(local) // rest if k == "data" else int(v)
+                      for k, v in shape.items())
+    return make_mesh(local, axis_names=mesh.axis_names, shape=new_shape)
+
+
+def localize(tree: Any, mesh: Mesh) -> Any:
+    """Copy a fully-replicated pytree (train state) onto another mesh,
+    replicated — hands the state to the per-process ``local_eval_mesh``.
+    Replicated leaves are addressable everywhere, so a host round-trip is
+    always legal; called once per validation, not per batch."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), tree)
+
+
+def global_host_sum(x: Any) -> np.ndarray:
+    """Sum a host-side metric array across processes (the reference's
+    ``reduce_tensor``, utils/dist_utils.py:41-48). No-op single-process."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(jnp.asarray(x))).sum(0)
+
+
+def global_host_concat(x: np.ndarray) -> np.ndarray:
+    """Concatenate per-process host arrays along axis 0 across processes
+    (the reference's ``gather_tensor``, utils/dist_utils.py:50-54), allowing
+    ragged per-process row counts (eval loaders drop_last=False). No-op
+    single-process."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([x.shape[0]]))).reshape(-1)
+    n_max = int(counts.max())
+    if x.shape[0] < n_max:
+        pad = np.zeros((n_max - x.shape[0],) + x.shape[1:], x.dtype)
+        x = np.concatenate([x, pad], axis=0)
+    gathered = np.asarray(multihost_utils.process_allgather(jnp.asarray(x)))
+    return np.concatenate([gathered[p, :counts[p]] for p in range(len(counts))],
+                          axis=0)
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:

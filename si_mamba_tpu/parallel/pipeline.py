@@ -178,8 +178,6 @@ def pipeline_pointmamba_logits(variables: dict, cfg, pts, *, mesh: Mesh,
     variables: the model's {'params', 'batch_stats'}; cfg: PointMambaConfig;
     pts: (B, N, 3) with B % n_micro == 0.
     """
-    import jax.numpy as jnp
-
     from si_mamba_tpu.models.embed import ClsHead, PatchEncoder, PosEmbedMLP
     from si_mamba_tpu.models.grouping import group_divider
     from si_mamba_tpu.models.ordering import (
@@ -189,6 +187,15 @@ def pipeline_pointmamba_logits(variables: dict, cfg, pts, *, mesh: Mesh,
     )
     from si_mamba_tpu.models.point_mamba import spectral_eigvecs
 
+    if cfg.add_after_layer or cfg.rms_norm:
+        # MixerModelAdd's per-layer cross-merge re-sort (and RMSNorm's
+        # mean-free normalization) are not part of the pipelined block
+        # recurrence — the param layout would load fine but the logits
+        # would silently diverge from PointMamba.apply
+        raise NotImplementedError(
+            f"pipeline_pointmamba_logits covers the plain MixerModel stack "
+            f"only (add_after_layer={cfg.add_after_layer}, "
+            f"rms_norm={cfg.rms_norm})")
     p, bs = variables["params"], variables["batch_stats"]
     grouped = group_divider(pts, cfg.num_group, cfg.group_size)
     tokens = PatchEncoder(cfg.encoder_dims).apply(

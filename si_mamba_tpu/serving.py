@@ -143,6 +143,13 @@ class Predictor:
         n = clouds.shape[0]
         if n == 0:
             return np.zeros((0, self.model.config.cls_dim), np.float32)
+        if clouds.shape[1] < self.npoints:
+            # independent of allow_recompile: _fps_to_npoints only
+            # downsamples, so the model would silently run on too few points
+            raise ValueError(
+                f"request has {clouds.shape[1]} points < npoints="
+                f"{self.npoints}: the serve path cannot upsample — resample "
+                f"on the host")
         if clouds.shape[1] not in self.input_points and not self.allow_recompile:
             raise ValueError(
                 f"request has {clouds.shape[1]} points but the predictor was "

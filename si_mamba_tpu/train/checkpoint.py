@@ -38,10 +38,13 @@ def _path_unflatten(template: Any, flat: dict) -> Any:
 
 
 def save_checkpoint(exp_dir: str, prefix: str, state, epoch: int,
-                    metrics: dict | None = None, best_metrics: dict | None = None,
-                    rank: int = 0) -> None:
-    if rank != 0:
-        return
+                    metrics: dict | None = None, best_metrics: dict | None = None) -> None:
+    # Multi-host: EVERY process must call this (orbax's save is a
+    # collective — its internal global-sync barrier deadlocks a process
+    # that skips the call; only the primary host actually persists the
+    # replicated host-numpy payload). This mirrors the reference's
+    # rank-0-only torch.save (tools/builder.py:154) in effect, not in
+    # call pattern. Verified by tests/test_multihost.py.
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),

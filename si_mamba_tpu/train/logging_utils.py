@@ -43,7 +43,13 @@ def print_log(msg: str, logger: logging.Logger | str | None = None):
 class ScalarWriter:
     """Append-only JSONL scalar stream: one line per record."""
 
-    def __init__(self, path: str | None, rank: int = 0):
+    def __init__(self, path: str | None, rank: int | None = None):
+        # rank-0-only write (reference rank-gated TB writers, main.py:62-67)
+        # — multi-host runners share one exp_dir
+        if rank is None:
+            import jax
+
+            rank = jax.process_index()
         self.path = path if rank == 0 else None
         if self.path:
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)

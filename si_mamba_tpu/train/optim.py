@@ -109,8 +109,13 @@ def build_optimizer(params: Any, *, opt_type: str = "AdamW", lr: float = 3e-4,
             lr_decay=float(kw.get("lr_decay", 0.7)),
             lowest_decay=float(kw.get("lowest_decay", 0.02)))
     elif sched_type == "StepLR":
-        # torch StepLR(step_size, gamma) — epochs arg reused as step_size
-        schedule = lambda step: lr * (0.1 ** (step // (steps_per_epoch * epochs)))
+        # torch StepLR(step_size, gamma) — epochs arg reused as step_size;
+        # same one-epoch lag as CosLR/LambdaLR (scheduler.step(epoch) runs
+        # at the END of epoch e, so epoch e trains at the epoch-(e-1) value)
+        def schedule(step):
+            epoch = jnp.floor_divide(step, steps_per_epoch)
+            t = jnp.maximum(epoch - 1, 0)
+            return lr * (0.1 ** (t // epochs))
     elif sched_type == "const":
         schedule = lambda step: lr
     else:

@@ -21,6 +21,9 @@ from si_mamba_tpu.models.point_mamba import cross_entropy_loss_acc
 from si_mamba_tpu.parallel import (
     dp_eval_jit,
     dp_train_jit,
+    global_host_sum,
+    local_eval_mesh,
+    localize,
     make_mesh,
     replicate,
     shard_batch,
@@ -119,36 +122,33 @@ def make_vote_step(model: PointMamba, npoints: int, rotation: bool,
     return step
 
 
-def _global_sum(x: np.ndarray) -> np.ndarray:
-    """Sum across hosts (the reference's reduce_tensor/gather_tensor for val,
-    utils/dist_utils.py:41-54). No-op single-host."""
-    if jax.process_count() == 1:
-        return x
-    from jax.experimental import multihost_utils
-
-    return np.asarray(multihost_utils.process_allgather(jnp.asarray(x))).sum(0)
-
-
 def validate(eval_step, state, loader, epoch: int = 0) -> float:
+    """Per-process eval over the loader shard + cross-host count reduction
+    (the reference's per-rank validate + reduce_tensor). ``eval_step`` must
+    be jitted over the LOCAL mesh on multi-host runs (``local_eval_mesh``)
+    so the per-example logits are host-readable."""
     correct = total = 0
     for pts, labels in loader.epoch(0):
         logits = np.asarray(eval_step(state, jnp.asarray(pts)))
         correct += int((logits.argmax(-1) == labels).sum())
         total += len(labels)
-    counts = _global_sum(np.asarray([correct, total]))
+    counts = global_host_sum(np.asarray([correct, total]))
     return 100.0 * counts[0] / max(counts[1], 1)
 
 
 def validate_vote(vote_step, state, loader, seed: int = 0) -> float:
     """Logit-vote accuracy (reference :345-406). ``vote_step`` (from
-    ``make_vote_step``) runs all vote passes in-graph — one dispatch/batch."""
+    ``make_vote_step``) runs all vote passes in-graph — one dispatch/batch.
+    Counts are reduced across hosts like ``validate`` so every process sees
+    the same accuracy and makes the same ckpt-best_vote decision."""
     correct = total = 0
     for pts, labels in loader.epoch(0):
         acc_logits = vote_step(state, jnp.asarray(pts), jax.random.key(seed))
         pred = np.asarray(acc_logits).argmax(-1)
         correct += int((pred == labels).sum())
         total += len(labels)
-    return 100.0 * correct / max(total, 1)
+    counts = global_host_sum(np.asarray([correct, total]))
+    return 100.0 * counts[0] / max(counts[1], 1)
 
 
 def finetune_run(config, train_loader, val_loader, exp_dir: str,
@@ -170,6 +170,14 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
     # in-model shard_map/with_sharding_constraint resolve the mesh from
     # context at trace time.
     tp_size = int(config.get("tp_size", 1) or 1)
+    if (model_cfg.tp_axis is not None) != (tp_size > 1):
+        # one-sided configs fail deep inside shard_map (tp_axis without a
+        # mesh axis) or silently run DP-only (tp_size without tp_axis) —
+        # reject both up front with the fix spelled out
+        raise ValueError(
+            f"tensor parallelism needs BOTH model.tp_axis and top-level "
+            f"tp_size > 1 (got tp_axis={model_cfg.tp_axis!r}, "
+            f"tp_size={tp_size})")
     if model_cfg.tp_axis is not None and tp_size > 1:
         ndev = len(jax.devices())
         if ndev % tp_size != 0:
@@ -231,9 +239,14 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
     state = replicate(state, mesh)
     train_step = dp_train_jit(make_train_step(model, npoints, rotation), mesh,
                               n_extra=2)  # rng, bn_momentum
-    eval_step = dp_eval_jit(make_eval_step(model, npoints), mesh)
-    vote_step = dp_eval_jit(make_vote_step(model, npoints, rotation), mesh,
+    # eval/vote run per process on the local mesh (reference per-rank eval
+    # + all-reduced counts); single-process this IS the global mesh
+    emesh = local_eval_mesh(mesh)
+    eval_step = dp_eval_jit(make_eval_step(model, npoints), emesh)
+    vote_step = dp_eval_jit(make_vote_step(model, npoints, rotation), emesh,
                             n_extra=1)
+    eval_state = (lambda s: s) if emesh is mesh else (
+        lambda s: localize(s, emesh))
     writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
     rng = jax.random.key(seed)
 
@@ -242,7 +255,10 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
         for epoch in range(start_epoch, max_epoch + 1):
             t0 = time.time()
             meters = AverageMeter(["loss", "acc"])
-            bn_m = jnp.float32(bn_sched(epoch))
+            # same one-epoch lag as the LR schedule: the reference steps
+            # BNMomentumScheduler at epoch END after applying bnm(0) at
+            # init (utils/misc.py:103-133), so epoch e trains at bnm(e-1)
+            bn_m = jnp.float32(bn_sched(max(epoch - 1, 0)))
             for pts, labels in train_loader.epoch(epoch):
                 batch = shard_batch((jnp.asarray(pts), jnp.asarray(labels)), mesh)
                 state, m = train_step(state, *batch, rng, bn_m)
@@ -254,7 +270,7 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
             writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)
             writer.add_scalar("LR", lr_now, epoch)
 
-            acc = validate(eval_step, state, val_loader, epoch)
+            acc = validate(eval_step, eval_state(state), val_loader, epoch)
             writer.add_scalar("Metric/ACC", acc, epoch)
             print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}", logger)
             metrics = AccMetric(acc)
@@ -265,7 +281,7 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
                                      metrics.state_dict(), best_metrics.state_dict())
             # vote thresholds from reference runner_finetune.py:278-288
             if vote and (acc > 92.1 or (better and acc > 91)):
-                vacc = validate_vote(vote_step, state, val_loader)
+                vacc = validate_vote(vote_step, eval_state(state), val_loader)
                 writer.add_scalar("Metric/ACC_vote", vacc, epoch)
                 if AccMetric(vacc).better_than(best_vote):
                     best_vote = AccMetric(vacc)

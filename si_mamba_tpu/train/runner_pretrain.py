@@ -17,6 +17,9 @@ from si_mamba_tpu.models import PointMAEMamba, PointMAEConfig
 from si_mamba_tpu.parallel import (
     dp_eval_jit,
     dp_train_jit,
+    global_host_concat,
+    local_eval_mesh,
+    localize,
     make_mesh,
     replicate,
     shard_batch,
@@ -81,12 +84,16 @@ def evaluate_svm(train_feats, train_labels, test_feats, test_labels) -> float:
 
 
 def svm_probe(feature_step, state, svm_train_loader, svm_test_loader) -> float:
+    """Per-process feature extraction over the loader shard, features
+    gathered across hosts (the reference's gather_tensor before the SVC
+    fit, runner_pretrain.py:374-378), then one host-side SVM."""
     def collect(loader):
         fs, ls = [], []
         for pts, labels in loader.epoch(0):
             fs.append(np.asarray(feature_step(state, jnp.asarray(pts))))
-            ls.append(labels)
-        return np.concatenate(fs), np.concatenate(ls)
+            ls.append(np.asarray(labels).reshape(-1))
+        return (global_host_concat(np.concatenate(fs)),
+                global_host_concat(np.concatenate(ls)))
 
     trf, trl = collect(svm_train_loader)
     tef, tel = collect(svm_test_loader)
@@ -134,7 +141,12 @@ def pretrain_run(config, train_loader, svm_loaders, exp_dir: str,
     state = replicate(state, mesh)
     train_step = dp_train_jit(make_pretrain_step(model), mesh, n_batch=1,
                               n_extra=2)  # rng, tau
-    feature_step = dp_eval_jit(make_feature_step(model), mesh)
+    # the SVM probe's feature pass runs per process on the local mesh
+    # (features are host-gathered afterwards)
+    emesh = local_eval_mesh(mesh)
+    feature_step = dp_eval_jit(make_feature_step(model), emesh)
+    eval_state = (lambda s: s) if emesh is mesh else (
+        lambda s: localize(s, emesh))
     writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
     rng = jax.random.key(seed)
 
@@ -152,7 +164,7 @@ def pretrain_run(config, train_loader, svm_loaders, exp_dir: str,
         writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)
 
         if svm_loaders is not None and epoch % val_freq == 0 and epoch != 0:
-            acc = svm_probe(feature_step, state, *svm_loaders)
+            acc = svm_probe(feature_step, eval_state(state), *svm_loaders)
             writer.add_scalar("Metric/SVM_ACC", acc, epoch)
             print_log(f"[Validation] EPOCH: {epoch}  svm_acc = {acc:.4f}", logger)
             if AccMetric(acc).better_than(best_metrics):

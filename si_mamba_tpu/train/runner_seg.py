@@ -15,7 +15,16 @@ from si_mamba_tpu.data.shapenetpart import (
     shift_point_cloud,
 )
 from si_mamba_tpu.models.segmentation import PartSegConfig, PartSegModel, nll_loss
-from si_mamba_tpu.parallel import dp_eval_jit, dp_train_jit, make_mesh, replicate, shard_batch
+from si_mamba_tpu.parallel import (
+    dp_eval_jit,
+    dp_train_jit,
+    global_host_sum,
+    local_eval_mesh,
+    localize,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from si_mamba_tpu.train import checkpoint as ckpt
 from si_mamba_tpu.train.logging_utils import AverageMeter, ScalarWriter, print_log
 from si_mamba_tpu.train.optim import build_optimizer
@@ -73,7 +82,13 @@ def evaluate_miou(eval_step, state, loader) -> dict:
     """Instance/class mIoU + accuracy accounting (reference :269-334). The
     sample's category comes from its GT seg labels (reference
     ``seg_label_to_cat``) — robust to dataset category-index ordering."""
-    shape_ious: dict[str, list[float]] = {name: [] for name in SEG_CLASSES}
+    # per-category (iou sum, sample count) + point counts — additive
+    # accumulators so multi-host runs reduce them with one global_host_sum
+    # (the reference evaluates single-rank; we keep per-rank eval + reduce)
+    cat_order = list(SEG_CLASSES)
+    cat_pos = {name: i for i, name in enumerate(cat_order)}
+    iou_sum = np.zeros(len(cat_order))
+    iou_cnt = np.zeros(len(cat_order))
     correct = total = 0
 
     for pts, cls_idx, seg in loader.epoch(0):
@@ -92,13 +107,18 @@ def evaluate_miou(eval_step, state, loader) -> dict:
                 union = np.logical_or(gt_p, pr_p).sum()
                 inter = np.logical_and(gt_p, pr_p).sum()
                 ious.append(1.0 if union == 0 else inter / union)
-            shape_ious[name].append(float(np.mean(ious)))
+            iou_sum[cat_pos[name]] += float(np.mean(ious))
+            iou_cnt[cat_pos[name]] += 1
 
-    all_ious = [v for vs in shape_ious.values() for v in vs]
-    cat_ious = {k: float(np.mean(v)) for k, v in shape_ious.items() if v}
+    iou_sum, iou_cnt, counts = (
+        global_host_sum(iou_sum), global_host_sum(iou_cnt),
+        global_host_sum(np.asarray([correct, total], np.int64)))
+    cat_ious = {name: float(iou_sum[i] / iou_cnt[i])
+                for i, name in enumerate(cat_order) if iou_cnt[i] > 0}
+    n_samples = float(iou_cnt.sum())
     return {
-        "accuracy": correct / max(total, 1),
-        "instance_miou": float(np.mean(all_ious)) if all_ious else 0.0,
+        "accuracy": int(counts[0]) / max(int(counts[1]), 1),
+        "instance_miou": float(iou_sum.sum() / n_samples) if n_samples else 0.0,
         "class_miou": float(np.mean(list(cat_ious.values()))) if cat_ious else 0.0,
         "per_category": cat_ious,
     }
@@ -131,8 +151,11 @@ def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
     state = replicate(state, mesh)
     train_step = dp_train_jit(make_seg_train_step(model, cfg.num_categories),
                               mesh, n_batch=3)
+    emesh = local_eval_mesh(mesh)
     eval_step = dp_eval_jit(make_seg_eval_step(model, cfg.num_categories),
-                            mesh, n_batch=2)
+                            emesh, n_batch=2)
+    eval_state = (lambda s: s) if emesh is mesh else (
+        lambda s: localize(s, emesh))
     writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
     rng = jax.random.key(seed)
 
@@ -148,7 +171,7 @@ def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
             meters.update([float(m["loss"]), float(m["acc"])])
         print_log(f"[Seg] EPOCH {epoch} time={time.time()-t0:.1f}s "
                   f"loss={meters.avg(0):.4f} acc={meters.avg(1):.4f}", logger)
-        metrics = evaluate_miou(eval_step, state, test_loader)
+        metrics = evaluate_miou(eval_step, eval_state(state), test_loader)
         writer.add_scalar("Seg/instance_miou", metrics["instance_miou"], epoch)
         print_log(f"[Seg] EPOCH {epoch} inst mIoU={metrics['instance_miou']:.4f} "
                   f"class mIoU={metrics['class_miou']:.4f} "

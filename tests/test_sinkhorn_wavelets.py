@@ -256,6 +256,12 @@ def test_jacobi_eigh_matches_xla_eigh():
         orth = np.einsum("bki,bkj->bij", np.asarray(V), np.asarray(V))
         np.testing.assert_allclose(orth, np.broadcast_to(np.eye(n), orth.shape),
                                    atol=1e-5)
+    # n beyond the validated sweep range refuses instead of silently
+    # under-converging (code-review r3)
+    import pytest
+
+    with pytest.raises(ValueError, match="validated to"):
+        jacobi_eigh(jnp.zeros((1, 192, 192)))
 
 
 def test_expm_neg_psd_matches_scipy_expm():
