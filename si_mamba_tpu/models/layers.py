@@ -134,6 +134,67 @@ class MambaMixer(nn.Module):
                                  impl=self.scan_impl)
 
 
+class SSDMixer(nn.Module):
+    """Scalar-decay SSD token mixer (ops/ssd.py) — opt-in MXU-native
+    alternative to the Mamba-1 ``MambaMixer`` (``PointMambaConfig.
+    mixer='ssd'``). Beyond-reference: no parity claim; the chunked
+    recurrence runs as dense matmuls instead of a VPU scan (see
+    benchmarks/ROOFLINE.md for why that is the only way past the Mamba-1
+    VPU wall). Head layout: d_inner = expand·d_model split into
+    head_dim-64-ish heads, one B/C group, A scalar per head."""
+
+    d_model: int
+    # FULL-TILE geometry: q=k=n=p=128 makes every SSD contraction a
+    # (8,128)-tile-aligned 128x128 matmul — 64-wide operands half-fill the
+    # MXU tile and measured ~2% of peak (profile, round 3)
+    d_state: int = 128
+    d_conv: int = 4
+    expand: int = 2
+    head_dim: int = 128
+    chunk: int = 128
+    out_proj_div: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_inner = self.expand * self.d_model
+        head_dim = self.head_dim if d_inner % self.head_dim == 0 else (
+            d_inner // max(1, d_inner // self.head_dim))
+        n_heads = d_inner // head_dim
+        conv_dim = d_inner + 2 * self.d_state
+
+        def scaled_out_init(key, shape, dtype=jnp.float32):
+            return torch_linear_init()(key, shape, dtype) / self.out_proj_div
+
+        def a_log_init(key, shape, dtype=jnp.float32):
+            return jnp.log(jax.random.uniform(key, shape, jnp.float32,
+                                              1.0, 16.0)).astype(dtype)
+
+        params = {
+            "in_proj_w": self.param(
+                "in_proj", torch_linear_init(),
+                (self.d_model, 2 * d_inner + 2 * self.d_state + n_heads)),
+            "conv_w": self.param("conv1d_weight",
+                                 _uniform_bound(1 / math.sqrt(self.d_conv)),
+                                 (conv_dim, self.d_conv)),
+            "conv_b": self.param("conv1d_bias",
+                                 _uniform_bound(1 / math.sqrt(self.d_conv)),
+                                 (conv_dim,)),
+            "dt_bias": self.param("dt_bias", _dt_bias_init(), (n_heads,)),
+            "A_log": self.param("A_log", a_log_init, (n_heads,)),
+            "D": self.param("D", nn.initializers.ones, (n_heads,)),
+            "norm_scale": self.param("norm_scale", nn.initializers.ones,
+                                     (d_inner,)),
+            "out_proj_w": self.param("out_proj", scaled_out_init,
+                                     (d_inner, self.d_model)),
+        }
+        from si_mamba_tpu.ops.ssd import ssd_mixer_apply
+
+        return ssd_mixer_apply(params, x.astype(self.dtype),
+                               n_heads=n_heads, d_state=self.d_state,
+                               chunk=self.chunk)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath semantics)."""
 
@@ -165,6 +226,7 @@ class Block(nn.Module):
     out_proj_div: float = 1.0
     scan_impl: str = "auto"
     tp_axis: Optional[str] = None
+    mixer: str = "mamba"  # 'mamba' (reference Mamba-1) | 'ssd' (opt-in MXU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -177,9 +239,15 @@ class Block(nn.Module):
             residual = residual.astype(jnp.float32)
         norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
         h = norm_cls(epsilon=self.norm_eps, name="norm", dtype=self.dtype)(residual)
-        h = MambaMixer(self.d_model, out_proj_div=self.out_proj_div,
-                       scan_impl=self.scan_impl, tp_axis=self.tp_axis,
-                       dtype=self.dtype, name="mixer")(h)
+        if self.mixer == "ssd":
+            if self.tp_axis is not None:
+                raise NotImplementedError("tp_axis with mixer='ssd'")
+            h = SSDMixer(self.d_model, out_proj_div=self.out_proj_div,
+                         dtype=self.dtype, name="mixer")(h)
+        else:
+            h = MambaMixer(self.d_model, out_proj_div=self.out_proj_div,
+                           scan_impl=self.scan_impl, tp_axis=self.tp_axis,
+                           dtype=self.dtype, name="mixer")(h)
         return h, residual
 
 
@@ -195,6 +263,7 @@ class MixerModel(nn.Module):
     residual_in_fp32: bool = False
     scan_impl: str = "auto"
     tp_axis: Optional[str] = None
+    mixer: str = "mamba"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -207,7 +276,7 @@ class MixerModel(nn.Module):
                 self.d_model, rms_norm=self.rms_norm, norm_eps=self.norm_eps,
                 drop_path=self.drop_path, residual_in_fp32=self.residual_in_fp32,
                 out_proj_div=div, scan_impl=self.scan_impl,
-                tp_axis=self.tp_axis, dtype=self.dtype,
+                tp_axis=self.tp_axis, mixer=self.mixer, dtype=self.dtype,
                 name=f"layers_{i}",
             )(hidden, residual, deterministic)
             if self.drop_out_in_block > 0:

@@ -58,6 +58,10 @@ class PointMambaConfig:
     # compute
     scan_impl: str = "auto"
     spectral_method: str = "eigh"  # eigh (exact) | subspace (MXU-only approx)
+    # 'mamba' = reference Mamba-1 selective scan (parity default);
+    # 'ssd' = opt-in scalar-decay chunked-matmul mixer (ops/ssd.py) —
+    # MXU-native, beyond-reference, NO parity claim
+    mixer: str = "mamba"
     dtype: str = "float32"
     # tensor parallelism: name of the model mesh axis to shard every mixer's
     # d_inner over (parallel/tensor_parallel.py). Requires running under a
@@ -163,6 +167,8 @@ class PointMamba(nn.Module):
             # sharding story; the published configs never combine the two.
             if cfg.tp_axis is not None:
                 raise NotImplementedError("tp_axis with add_after_layer")
+            if cfg.mixer != "mamba":
+                raise NotImplementedError("mixer='ssd' with add_after_layer")
             x = MixerModelAdd(cfg.trans_dim, cfg.depth, rms_norm=cfg.rms_norm,
                               drop_path=cfg.drop_path,
                               drop_out_in_block=cfg.drop_out_in_block,
@@ -173,7 +179,7 @@ class PointMamba(nn.Module):
                            drop_path=cfg.drop_path,
                            drop_out_in_block=cfg.drop_out_in_block,
                            scan_impl=cfg.scan_impl, tp_axis=cfg.tp_axis,
-                           dtype=dtype, name="blocks")(
+                           mixer=cfg.mixer, dtype=dtype, name="blocks")(
                 x, pos_seq, deterministic=not train)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x)

@@ -45,6 +45,7 @@ _SLOW = {
     "test_full_train_step_matches_torch_oracle",
     "test_dp_tp_composed_train_step_matches_dp_only",
     "test_vote_step_in_graph_matches_eager_loop",
+    "test_pointmamba_ssd_mixer_trains",
 }
 
 
