@@ -84,17 +84,20 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64):
     assert l % chunk == 0, (l, chunk)
     nc, q = l // chunk, chunk
 
-    # head-major layouts, one transpose each
-    xh = x.astype(_F32).transpose(0, 2, 1, 3).reshape(b, h, nc, q, p)
+    # head-major layouts, one transpose each. The big (l, d)-sized tensors
+    # stay in the input dtype end-to-end (each fp32 materialization of a
+    # (b,h,l,p) tensor is a 50 MB HBM round-trip); only the small decay
+    # tensors (b,h,nc,q) and the matmul ACCUMULATORS are fp32.
+    xh = x.transpose(0, 2, 1, 3).reshape(b, h, nc, q, p).astype(mm)
     dth = dt.astype(_F32).transpose(0, 2, 1).reshape(b, h, nc, q)
-    Bc = Bm.astype(_F32).reshape(b, nc, q, n)
-    Cc = Cm.astype(_F32).reshape(b, nc, q, n)
+    Bc = Bm.reshape(b, nc, q, n).astype(mm)
+    Cc = Cm.reshape(b, nc, q, n).astype(mm)
 
     S = jnp.cumsum(dth * A[None, :, None, None], axis=-1)  # (b,h,nc,q) <= 0
-    xdt = xh * dth[..., None]  # (b,h,nc,q,p)
+    xdt = xh * dth[..., None].astype(mm)  # (b,h,nc,q,p)
 
     # ---- intra-chunk: (C Bᵀ ⊙ decay-mask) @ Δx --------------------------
-    G = jnp.einsum("bcqn,bckn->bcqk", Cc.astype(mm), Bc.astype(mm),
+    G = jnp.einsum("bcqn,bckn->bcqk", Cc, Bc,
                    preferred_element_type=_F32)  # (b,nc,q,k)
     # decay s->t = exp(S[t]-S[s]) for s<=t, else 0. MASK IN LOG SPACE:
     # for s>t the exponent S[t]-S[s] is large POSITIVE (S is
@@ -104,14 +107,14 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64):
     tri = jnp.tril(jnp.ones((q, q), bool))
     M = jnp.exp(jnp.where(tri[None, None, None], logM, -jnp.inf))
     GM = (G[:, None] * M).astype(mm)  # (b,h,nc,q,k)
-    y_intra = jnp.einsum("bhcqk,bhckp->bhcqp", GM, xdt.astype(mm),
+    y_intra = jnp.einsum("bhcqk,bhckp->bhcqp", GM, xdt,
                          preferred_element_type=_F32)
 
     # ---- chunk-boundary states + carry scan over chunks ------------------
     # state_c = Σ_s exp(S[end]-S[s]) B[s] ⊗ Δx[s]        (b,h,nc,n,p)
     T_end = jnp.exp(S[..., -1:] - S)  # (b,h,nc,q)
-    xdt_dec = (xdt * T_end[..., None]).astype(mm)
-    states = jnp.einsum("bcqn,bhcqp->bhcnp", Bc.astype(mm), xdt_dec,
+    xdt_dec = xdt * T_end[..., None].astype(mm)
+    states = jnp.einsum("bcqn,bhcqp->bhcnp", Bc, xdt_dec,
                         preferred_element_type=_F32)
     chunk_decay = jnp.exp(S[..., -1])  # (b,h,nc)
 
@@ -127,13 +130,13 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64):
     h_in = h_in.transpose(1, 2, 0, 3, 4)  # (b,h,nc,n,p) state entering chunk
 
     # ---- inter-chunk: C[t] · exp(S[t]) · h_in ---------------------------
-    y_inter = jnp.einsum("bcqn,bhcnp->bhcqp", Cc.astype(mm),
+    y_inter = jnp.einsum("bcqn,bhcnp->bhcqp", Cc,
                          h_in.astype(mm), preferred_element_type=_F32)
     y_inter = y_inter * jnp.exp(S)[..., None]
 
-    y = (y_intra + y_inter).reshape(b, h, l, p).transpose(0, 2, 1, 3)
-    y = y + D[None, None, :, None] * x.astype(_F32)
-    return y.astype(in_dtype)
+    y = (y_intra + y_inter).astype(in_dtype)
+    y = y.reshape(b, h, l, p).transpose(0, 2, 1, 3)
+    return y + D[None, None, :, None].astype(in_dtype) * x
 
 
 def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
