@@ -48,6 +48,13 @@ def scan_vpu_gops(B, L, d_model, n_layer, d_state=16, expand=2):
 
 def main():
     import jax
+
+    # Persistent compile cache: full-model compiles over the axon relay take
+    # 5-15 min; with the cache warm (any prior run on this host) the whole
+    # bench starts in seconds. Harmless on a cold cache.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from jax import lax
 
@@ -89,7 +96,9 @@ def main():
     key = jax.random.key(1)
     # single AOT compile reused for cost analysis AND the timing loop (the
     # K-step program's flops / K = per-step flops for the MFU estimate)
+    t_compile0 = time.perf_counter()
     compiled = multi_step.lower(state, pts, labels, key).compile()
+    primary_compile_s = time.perf_counter() - t_compile0
     try:
         step_flops = float(compiled.cost_analysis()["flops"]) / K_STEPS
     except Exception:
@@ -174,6 +183,53 @@ def main():
         vlat.append(time.perf_counter() - t0)
     vote10_dt = float(np.median(vlat))
 
+    # opt-in SSD mixer (ops/ssd.py — chunked scalar-decay SSM in pure MXU
+    # matmuls; Mamba-2 structure, no reference-parity claim): same train
+    # step at the same shape. Fail-soft: the headline metric above never
+    # depends on this block — and on a COLD compile cache (primary compile
+    # over the relay took minutes) it is skipped entirely so the extra
+    # full-model compile cannot push the whole bench past a driver timeout.
+    # Measured warm: 62.9 ms/step = 508.7 clouds/s (ROADMAP round-3).
+    def measure_ssd():
+        import dataclasses as _dc
+
+        ssd_model = PointMamba(_dc.replace(cfg, mixer="ssd"))
+        ssd_vars = ssd_model.init(jax.random.key(0), pts[:2], train=False)
+        ssd_tx, _ = build_optimizer(ssd_vars["params"], lr=3e-4, epochs=300,
+                                    warmup_epochs=10, steps_per_epoch=300)
+        ssd_state = TrainState.create(ssd_vars["params"],
+                                      ssd_vars["batch_stats"], ssd_tx)
+        ssd_step = make_classifier_train_step(ssd_model)
+
+        @jax.jit
+        def ssd_multi(st, pts, labels, key):
+            def body(s, _):
+                s, m = ssd_step(s, pts, labels, key)
+                return s, m["loss"]
+
+            return lax.scan(body, st, jnp.arange(K_STEPS))
+
+        st, sl = ssd_multi(ssd_state, pts, labels, key)
+        np.asarray(sl)
+        slat2 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st, sl = ssd_multi(st, pts, labels, key)
+            np.asarray(sl)
+            slat2.append((time.perf_counter() - t0) / K_STEPS)
+        ssd_dt = float(np.median(slat2))
+        return {"ssd_train_step_ms": round(ssd_dt * 1e3, 2),
+                "ssd_clouds_per_sec": round(B / ssd_dt, 2)}
+
+    if primary_compile_s > 120.0:
+        ssd_extra = {"ssd_skipped_cold_cache_compile_s":
+                     round(primary_compile_s, 1)}
+    else:
+        try:
+            ssd_extra = measure_ssd()
+        except Exception as e:  # pragma: no cover - depends on backend
+            ssd_extra = {"ssd_error": f"{type(e).__name__}"}
+
     print(json.dumps({
         "metric": "modelnet40_train_clouds_per_sec_per_chip",
         "value": round(clouds_per_sec, 2),
@@ -207,6 +263,7 @@ def main():
             "batch": B,
             "scan_impl": cfg.scan_impl,
             "amortized_over": K_STEPS,
+            **ssd_extra,
         },
     }))
 

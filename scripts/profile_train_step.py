@@ -5,11 +5,14 @@ train step), parses the xplane proto, and writes a sorted per-op table with
 a category breakdown (scan kernels / conv kernels / matmul / eigh / fusion
 glue) to ``benchmarks/profile_train_step.json``. With ``--pretrain``,
 profiles the MAE pretrain step instead (B=128, cfgs/pretrain.yaml shape,
-bf16 + jacobi wavelet solver) into ``profile_pretrain_step.json``.
+bf16 + jacobi wavelet solver) into ``profile_pretrain_step.json``. With
+``--ssd``, profiles the opt-in SSD-mixer train step (same bench shape)
+into ``profile_ssd_step.json``.
 
 Run (axon tunnel):
   PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
-    JAX_PLATFORMS=tpu timeout 1800 python scripts/profile_train_step.py [--pretrain]
+    JAX_PLATFORMS=tpu timeout 1800 python scripts/profile_train_step.py \
+    [--pretrain | --ssd]
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 K_STEPS = 10
 
 
-def capture(tracedir: str) -> None:
+def capture(tracedir: str, mixer: str = "mamba") -> None:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -37,7 +40,8 @@ def capture(tracedir: str) -> None:
     from si_mamba_tpu.train.train_state import TrainState, make_classifier_train_step
 
     B, N = 32, 1024
-    cfg = PointMambaConfig(dtype="bfloat16", spectral_method="subspace")
+    cfg = PointMambaConfig(dtype="bfloat16", spectral_method="subspace",
+                           mixer=mixer)
     model = PointMamba(cfg)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
@@ -191,6 +195,7 @@ def categorize(name: str) -> str:
 
 def main():
     pretrain = "--pretrain" in sys.argv[1:]
+    ssd = "--ssd" in sys.argv[1:]
     tracedir = "/tmp/si_mamba_trace"
     # Each start_trace writes a new plugins/profile/<ts>/*.xplane.pb; stale
     # files from earlier runs would be summed by the glob (leaf totals came
@@ -198,7 +203,10 @@ def main():
     import shutil
     shutil.rmtree(tracedir, ignore_errors=True)
     os.makedirs(tracedir, exist_ok=True)
-    wall_ms = (capture_pretrain if pretrain else capture)(tracedir)
+    if pretrain:
+        wall_ms = capture_pretrain(tracedir)
+    else:
+        wall_ms = capture(tracedir, mixer="ssd" if ssd else "mamba")
     ops, total_ps, wrappers_ps = parse(tracedir)
     rows = sorted(ops.items(), key=lambda kv: -kv[1])
     per_step = lambda ps: ps / 1e9 / K_STEPS  # ps -> ms, amortized
@@ -222,7 +230,8 @@ def main():
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks",
-        "profile_pretrain_step.json" if pretrain else "profile_train_step.json")
+        "profile_pretrain_step.json" if pretrain
+        else "profile_ssd_step.json" if ssd else "profile_train_step.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"step_wall_ms": out["step_wall_ms"],
