@@ -74,6 +74,9 @@ class PointMAEConfig:
     sinkhorn_target: str = "sorted"
     # compute
     scan_impl: str = "auto"
+    # 'mamba' (reference Mamba-1 parity default) | 'ssd' (opt-in MXU-native
+    # scalar-decay chunked-matmul mixer, ops/ssd.py — no parity claim)
+    mixer: str = "mamba"
     # 'eigh' exact Gram eigendecomposition; 'jacobi' = exact matmul-only
     # parallel-Jacobi eigh (ops/jacobi.py — TPU perf path, parity-gated)
     wavelet_solver: str = "eigh"
@@ -274,7 +277,7 @@ class PointMAEMamba(nn.Module):
         # ---- encoder over visible tokens ----------------------------------
         x_vis = MixerModel(cfg.trans_dim, cfg.depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           dtype=dtype, name="blocks")(
+                           mixer=cfg.mixer, dtype=dtype, name="blocks")(
             x_vis_in, pos_vis_in, deterministic=not train)
         x_vis = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x_vis)
 
@@ -304,7 +307,7 @@ class PointMAEMamba(nn.Module):
         # used by the legacy 'MAMBA' path).
         x_rec = MixerModel(cfg.trans_dim, cfg.decoder_depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           dtype=dtype, name="MAE_decoder")(
+                           mixer=cfg.mixer, dtype=dtype, name="MAE_decoder")(
             x_full, pos_full, deterministic=not train)
         x_rec = nn.LayerNorm(epsilon=1e-5, name="decoder_norm", dtype=dtype)(x_rec)
 
@@ -375,7 +378,7 @@ def _append_legacy(cls):
 
         x_vis = MixerModel(C, cfg.depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           dtype=dtype, name="blocks")(
+                           mixer=cfg.mixer, dtype=dtype, name="blocks")(
             x_vis, pos_vis, deterministic=not train)
         x_vis = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x_vis)
         if noaug:
@@ -392,7 +395,7 @@ def _append_legacy(cls):
             axis=1)
         x_rec = MixerModel(C, cfg.decoder_depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           dtype=dtype, name="MAE_decoder")(
+                           mixer=cfg.mixer, dtype=dtype, name="MAE_decoder")(
             x_full, pos_full, deterministic=not train)
         x_rec = nn.LayerNorm(epsilon=1e-5, name="decoder_norm", dtype=dtype)(
             x_rec[:, -n_mask_eff:])

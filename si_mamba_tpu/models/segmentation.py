@@ -58,6 +58,9 @@ class PartSegConfig:
     binary: bool = True
     matrix: str = "laplacian"
     scan_impl: str = "auto"
+    # 'mamba' (reference Mamba-1 parity default) | 'ssd' (opt-in MXU-native
+    # scalar-decay chunked-matmul mixer, ops/ssd.py — no parity claim)
+    mixer: str = "mamba"
     dtype: str = "float32"
 
 
@@ -71,6 +74,7 @@ class MixerModelForSegmentation(nn.Module):
     norm_eps: float = 1e-5
     drop_path: float = 0.0
     scan_impl: str = "auto"
+    mixer: str = "mamba"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,7 +89,8 @@ class MixerModelForSegmentation(nn.Module):
             hidden, residual = Block(
                 self.d_model, rms_norm=self.rms_norm, norm_eps=self.norm_eps,
                 drop_path=self.drop_path, out_proj_div=div,
-                scan_impl=self.scan_impl, dtype=self.dtype, name=f"layers_{i}",
+                scan_impl=self.scan_impl, mixer=self.mixer, dtype=self.dtype,
+                name=f"layers_{i}",
             )(hidden, residual, deterministic)
             if i in self.fetch_idx:
                 out = hidden + residual if residual is not None else hidden
@@ -152,7 +157,8 @@ class PartSegModel(nn.Module):
         feats = MixerModelForSegmentation(
             cfg.trans_dim, cfg.depth, fetch_idx=cfg.fetch_idx,
             rms_norm=cfg.rms_norm, drop_path=cfg.drop_path,
-            scan_impl=cfg.scan_impl, dtype=dtype, name="blocks")(
+            scan_impl=cfg.scan_impl, mixer=cfg.mixer, dtype=dtype,
+            name="blocks")(
             x, pos_seq, deterministic=not train)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)
         seq_feat = jnp.concatenate([norm(f) for f in feats], axis=-1)  # (B, S, 1152)

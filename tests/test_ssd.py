@@ -146,3 +146,41 @@ def test_pointmamba_ssd_mixer_trains():
     p1 = jax.tree.map(lambda p, gr: p - 0.05 * gr, variables["params"], g)
     l1 = loss_fn(p1)
     assert float(l1) < float(l0)
+
+
+def test_pointmae_ssd_mixer_forward():
+    """PointMAEMamba with mixer='ssd' — the opt-in mixer is plumbed through
+    both MAE encoder/decoder stacks (finite loss, loss rngs wired)."""
+    from si_mamba_tpu.models.point_mae import PointMAEConfig, PointMAEMamba
+
+    cfg = PointMAEConfig(trans_dim=32, encoder_dims=32, depth=2,
+                         decoder_depth=2, group_size=8, num_group=16,
+                         knn_graph=4, k_top_eigenvectors=2, mixer="ssd")
+    model = PointMAEMamba(cfg)
+    r = np.random.default_rng(0)
+    pts = jnp.asarray(r.standard_normal((2, 128, 3)).astype(np.float32))
+    rngs = {"params": jax.random.key(0), "mask": jax.random.key(1),
+            "gumbel": jax.random.key(2)}
+    variables = model.init(rngs, pts, train=False)
+    loss = model.apply(variables, pts, train=False,
+                       rngs={"mask": jax.random.key(3),
+                             "gumbel": jax.random.key(4)})
+    assert np.isfinite(float(loss))
+
+
+def test_partseg_ssd_mixer_forward():
+    """PartSegModel with mixer='ssd' — per-point log-probs stay finite."""
+    from si_mamba_tpu.models.segmentation import PartSegConfig, PartSegModel
+
+    cfg = PartSegConfig(trans_dim=32, depth=2, cls_dim=10, num_categories=4,
+                        group_size=8, num_group=32, encoder_dims=32,
+                        knn_graph=4, k_top_eigenvectors=2, fetch_idx=(0, 1),
+                        method="SAST", mixer="ssd")
+    model = PartSegModel(cfg)
+    r = np.random.default_rng(0)
+    pts = jnp.asarray(r.standard_normal((2, 256, 3)).astype(np.float32))
+    cls_label = jax.nn.one_hot(jnp.asarray([1, 3]), 4)
+    variables = model.init(jax.random.key(0), pts, cls_label, train=False)
+    logp = model.apply(variables, pts, cls_label, train=False)
+    assert logp.shape == (2, 256, 10)
+    assert np.isfinite(np.asarray(logp)).all()
