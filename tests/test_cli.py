@@ -70,3 +70,17 @@ def test_model_registry_builds():
         "NAME": "PartSegModel", "trans_dim": 32, "depth": 4,
         "fetch_idx": [1, 2, 3], "knn_graph": 4})
     assert cfg.fetch_idx == (1, 2, 3)
+
+
+def test_ssd_preset_config_resolves():
+    """The opt-in SSD preset resolves through its 2-level _base_ chain to
+    the full ModelNet40 recipe with mixer='ssd' on the model config."""
+    from si_mamba_tpu.models import PointMambaConfig
+    from si_mamba_tpu.train.config import get_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_config(os.path.join(repo, "cfgs", "finetune_modelnet_ssd.yaml"))
+    mc = PointMambaConfig.from_dict(cfg.model)
+    assert mc.mixer == "ssd"
+    assert mc.dtype == "bfloat16" and mc.spectral_method == "subspace"
+    assert mc.trans_dim == 384 and mc.depth == 12  # full recipe inherited
