@@ -67,6 +67,16 @@ def test_ssd_no_overflow_at_strong_decay():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5 * np.abs(ref).max())
 
 
+def test_ssd_chunked_full_tile_geometry():
+    """Oracle parity at the PRODUCTION tile geometry (head_dim = d_state =
+    chunk = 128 — the full-(8,128)-tile layout the model path defaults to;
+    small-width tests above don't cover it)."""
+    args = _inputs(b=1, l=256, h=2, p=128, n=128, seed=3)
+    ref = np.asarray(ssd_scan_ref(*args))
+    got = np.asarray(ssd_chunked(*args, chunk=128))
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5 * np.abs(ref).max())
+
+
 def test_ssd_decay_reaches_across_chunks():
     """A token's influence must cross chunk boundaries through the carried
     state: zeroing the first chunk's inputs changes later outputs."""
