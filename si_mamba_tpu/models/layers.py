@@ -158,8 +158,14 @@ class SSDMixer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d_inner = self.expand * self.d_model
-        head_dim = self.head_dim if d_inner % self.head_dim == 0 else (
-            d_inner // max(1, d_inner // self.head_dim))
+        # head_dim must DIVIDE d_inner (the head reshape is exact); when the
+        # configured value doesn't, fall back to the largest divisor <= it
+        # (e.g. d_inner=448 -> 112, not the non-divisor 149 that
+        # floor-division would pick)
+        head_dim = self.head_dim
+        if d_inner % head_dim:
+            head_dim = next(d for d in range(min(head_dim, d_inner), 0, -1)
+                            if d_inner % d == 0)
         n_heads = d_inner // head_dim
         conv_dim = d_inner + 2 * self.d_state
 

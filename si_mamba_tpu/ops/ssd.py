@@ -140,7 +140,7 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64):
 
 
 def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
-                    chunk: int = 64, dt_min_softplus: bool = True):
+                    chunk: int = 64):
     """Full SSD mixer: in_proj → conv/SiLU on (x,B,C) → chunked SSD →
     gated RMSNorm → out_proj. Layout mirrors the Mamba-2 block structure
     (public SSD formulation) re-expressed for XLA; see ``models/layers.

@@ -130,6 +130,11 @@ def diffusion_wavelet_bases(L: jax.Array, J: int, solver: str = "eigh"
     Gram spectrum is near-degenerate at the rank cut, so its spans converge
     too slowly — use 'jacobi').
     """
+    if solver not in ("eigh", "jacobi", "subspace"):
+        # unknown strings (config typos) must not silently fall through to
+        # the slow exact-eigh branch below
+        raise ValueError(f"wavelet solver {solver!r} not in "
+                         f"('eigh', 'jacobi', 'subspace')")
     B, N, _ = L.shape
     lam_max = 2.0
     t0 = math.log(2.0) / lam_max

@@ -196,6 +196,14 @@ def pipeline_pointmamba_logits(variables: dict, cfg, pts, *, mesh: Mesh,
             f"pipeline_pointmamba_logits covers the plain MixerModel stack "
             f"only (add_after_layer={cfg.add_after_layer}, "
             f"rms_norm={cfg.rms_norm})")
+    if jnp.dtype(cfg.dtype) != jnp.float32 or cfg.mixer != "mamba":
+        # This composition runs fp32 Mamba-1 end-to-end; a bf16 config would
+        # silently diverge from PointMamba.apply (bf16 encoder/head and
+        # bf16-cast eigvecs change SAST argsort tie-breaks), and the stage
+        # body only knows the Mamba-1 param layout.
+        raise NotImplementedError(
+            f"pipeline_pointmamba_logits supports dtype=float32 + "
+            f"mixer='mamba' only (got dtype={cfg.dtype}, mixer={cfg.mixer})")
     p, bs = variables["params"], variables["batch_stats"]
     grouped = group_divider(pts, cfg.num_group, cfg.group_size)
     tokens = PatchEncoder(cfg.encoder_dims).apply(

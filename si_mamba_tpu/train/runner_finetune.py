@@ -186,72 +186,75 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
                          shape=(ndev // tp_size, tp_size))
     else:
         mesh = make_mesh()
-    mesh_ctx = jax.set_mesh(mesh)  # global swap now; restored in finally
-
-    dummy = jnp.zeros((2, npoints, 3), jnp.float32)
-    variables = model.init(jax.random.key(seed), dummy, train=False)
-    if pretrained_variables is not None:
-        variables = ckpt.transfer_pretrained(variables, pretrained_variables, logger)
-
-    steps_per_epoch = max(len(train_loader), 1)
-    tx, sched = build_optimizer(
-        variables["params"], opt_type=config.optimizer.type,
-        lr=float(config.optimizer.kwargs.lr),
-        weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
-        # LambdaLR/StepLR configs carry no epochs/initial_epochs keys
-        # (reference tools/builder.py:84-109) — fall back to max_epoch/0
-        epochs=int(config.scheduler.kwargs.get("epochs", config.max_epoch)),
-        warmup_epochs=int(config.scheduler.kwargs.get("initial_epochs", 0)),
-        steps_per_epoch=steps_per_epoch,
-        grad_clip=float(config.get("grad_norm_clip", 0) or 0) or None,
-        sched_type=config.scheduler.type,
-        step_per_update=int(config.get("step_per_update", 1) or 1),
-        sched_kwargs=dict(config.scheduler.kwargs))
-    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
-
-    # optional BN-momentum scheduler (reference config key ``bnmscheduler``,
-    # tools/builder.py:103-108): per-epoch flax momentum fed to the step
-    bnm_cfg = config.get("bnmscheduler", None)
-    if bnm_cfg is not None and bnm_cfg.get("type", "Lambda") == "Lambda":
-        kw = dict(bnm_cfg.get("kwargs", {}) or {})
-        bn_sched = bn_momentum_schedule(
-            bn_momentum=float(kw.get("bn_momentum", 0.1)),
-            bn_decay=float(kw.get("bn_decay", 0.5)),
-            decay_step=float(kw.get("decay_step", 40)),
-            lowest_decay=float(kw.get("lowest_decay", 0.01)))
-    else:
-        bn_sched = lambda epoch: 0.9  # flax default (== torch momentum 0.1)
-
-    start_epoch, best = 0, {}
-    if resume:
-        state, start_epoch, best = ckpt.resume_state(exp_dir, state)
-        print_log(f"[RESUME] restored ckpt-last: start_epoch={start_epoch} "
-                  f"best={best}", logger)
-        if start_epoch > int(config.max_epoch):
-            print_log(f"[RESUME] training already complete "
-                      f"(max_epoch={config.max_epoch})", logger)
-    best_metrics = AccMetric(best.get("acc", 0.0))
-    best_vote = AccMetric(0.0)
-
-    # Explicit DP shardings (state replicated, batch on 'data') so the same
-    # runner is correct on 1 chip and on a real multi-chip mesh (VERDICT r1
-    # weak #2); mirrors __graft_entry__.dryrun_multichip.
-    state = replicate(state, mesh)
-    train_step = dp_train_jit(make_train_step(model, npoints, rotation), mesh,
-                              n_extra=2)  # rng, bn_momentum
-    # eval/vote run per process on the local mesh (reference per-rank eval
-    # + all-reduced counts); single-process this IS the global mesh
-    emesh = local_eval_mesh(mesh)
-    eval_step = dp_eval_jit(make_eval_step(model, npoints), emesh)
-    vote_step = dp_eval_jit(make_vote_step(model, npoints, rotation), emesh,
-                            n_extra=1)
-    eval_state = (lambda s: s) if emesh is mesh else (
-        lambda s: localize(s, emesh))
-    writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
-    rng = jax.random.key(seed)
-
-    max_epoch = int(config.max_epoch)
+    mesh_ctx = jax.set_mesh(mesh)  # global swap now; ALWAYS restored in
+    # the finally below — a failure anywhere in init/resume/jit setup
+    # must not leak the swapped mesh into the process-wide context
+    writer = None
     try:
+
+        dummy = jnp.zeros((2, npoints, 3), jnp.float32)
+        variables = model.init(jax.random.key(seed), dummy, train=False)
+        if pretrained_variables is not None:
+            variables = ckpt.transfer_pretrained(variables, pretrained_variables, logger)
+
+        steps_per_epoch = max(len(train_loader), 1)
+        tx, sched = build_optimizer(
+            variables["params"], opt_type=config.optimizer.type,
+            lr=float(config.optimizer.kwargs.lr),
+            weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
+            # LambdaLR/StepLR configs carry no epochs/initial_epochs keys
+            # (reference tools/builder.py:84-109) — fall back to max_epoch/0
+            epochs=int(config.scheduler.kwargs.get("epochs", config.max_epoch)),
+            warmup_epochs=int(config.scheduler.kwargs.get("initial_epochs", 0)),
+            steps_per_epoch=steps_per_epoch,
+            grad_clip=float(config.get("grad_norm_clip", 0) or 0) or None,
+            sched_type=config.scheduler.type,
+            step_per_update=int(config.get("step_per_update", 1) or 1),
+            sched_kwargs=dict(config.scheduler.kwargs))
+        state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+        # optional BN-momentum scheduler (reference config key ``bnmscheduler``,
+        # tools/builder.py:103-108): per-epoch flax momentum fed to the step
+        bnm_cfg = config.get("bnmscheduler", None)
+        if bnm_cfg is not None and bnm_cfg.get("type", "Lambda") == "Lambda":
+            kw = dict(bnm_cfg.get("kwargs", {}) or {})
+            bn_sched = bn_momentum_schedule(
+                bn_momentum=float(kw.get("bn_momentum", 0.1)),
+                bn_decay=float(kw.get("bn_decay", 0.5)),
+                decay_step=float(kw.get("decay_step", 40)),
+                lowest_decay=float(kw.get("lowest_decay", 0.01)))
+        else:
+            bn_sched = lambda epoch: 0.9  # flax default (== torch momentum 0.1)
+
+        start_epoch, best = 0, {}
+        if resume:
+            state, start_epoch, best = ckpt.resume_state(exp_dir, state)
+            print_log(f"[RESUME] restored ckpt-last: start_epoch={start_epoch} "
+                      f"best={best}", logger)
+            if start_epoch > int(config.max_epoch):
+                print_log(f"[RESUME] training already complete "
+                          f"(max_epoch={config.max_epoch})", logger)
+        best_metrics = AccMetric(best.get("acc", 0.0))
+        best_vote = AccMetric(0.0)
+
+        # Explicit DP shardings (state replicated, batch on 'data') so the same
+        # runner is correct on 1 chip and on a real multi-chip mesh (VERDICT r1
+        # weak #2); mirrors __graft_entry__.dryrun_multichip.
+        state = replicate(state, mesh)
+        train_step = dp_train_jit(make_train_step(model, npoints, rotation), mesh,
+                                  n_extra=2)  # rng, bn_momentum
+        # eval/vote run per process on the local mesh (reference per-rank eval
+        # + all-reduced counts); single-process this IS the global mesh
+        emesh = local_eval_mesh(mesh)
+        eval_step = dp_eval_jit(make_eval_step(model, npoints), emesh)
+        vote_step = dp_eval_jit(make_vote_step(model, npoints, rotation), emesh,
+                                n_extra=1)
+        eval_state = (lambda s: s) if emesh is mesh else (
+            lambda s: localize(s, emesh))
+        writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
+        rng = jax.random.key(seed)
+
+        max_epoch = int(config.max_epoch)
         for epoch in range(start_epoch, max_epoch + 1):
             t0 = time.time()
             meters = AverageMeter(["loss", "acc"])
@@ -291,7 +294,8 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
                                  metrics.state_dict(), best_metrics.state_dict())
     finally:
         mesh_ctx.__exit__(None, None, None)
-    writer.close()
+        if writer is not None:
+            writer.close()
     return state, best_metrics
 
 
