@@ -158,6 +158,20 @@ def test_pointmamba_ssd_mixer_trains():
     assert float(l1) < float(l0)
 
 
+def test_ssd_mixer_odd_width_head_fallback():
+    """d_inner not divisible by the default head_dim=128 must fall back to a
+    true DIVISOR (d_model=224 -> d_inner=448: floor-division would pick the
+    non-divisor 149 and crash the head reshape)."""
+    from si_mamba_tpu.models.layers import SSDMixer
+
+    m = SSDMixer(d_model=224, d_state=16, chunk=32)
+    r = np.random.default_rng(0)
+    u = jnp.asarray(r.standard_normal((2, 64, 224)).astype(np.float32))
+    v = m.init(jax.random.key(0), u)
+    y = m.apply(v, u)
+    assert y.shape == u.shape and np.isfinite(np.asarray(y)).all()
+
+
 def test_pointmae_ssd_mixer_forward():
     """PointMAEMamba with mixer='ssd' — the opt-in mixer is plumbed through
     both MAE encoder/decoder stacks (finite loss, loss rngs wired)."""
