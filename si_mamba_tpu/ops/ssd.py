@@ -64,8 +64,9 @@ def ssd_scan_ref(x, dt, A, Bm, Cm, D):
     return y + D[None, None, :, None].astype(_F32) * x
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64):
+@functools.partial(jax.jit, static_argnames=("chunk", "return_carry"))
+def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64,
+                return_carry: bool = False):
     """Chunked matmul SSD — same result as ``ssd_scan_ref`` (≤1e-5 rel).
 
     Shapes as in ``ssd_scan_ref``; L must be a multiple of ``chunk`` (the
@@ -124,9 +125,9 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64):
         return hout, hprev  # emit the INCOMING state for this chunk
 
     h0 = jnp.zeros((b, h, n, p), _F32)
-    _, h_in = lax.scan(carry_step, h0,
-                       (states.transpose(2, 0, 1, 3, 4),
-                        chunk_decay.transpose(2, 0, 1)))
+    h_fin, h_in = lax.scan(carry_step, h0,
+                           (states.transpose(2, 0, 1, 3, 4),
+                            chunk_decay.transpose(2, 0, 1)))
     h_in = h_in.transpose(1, 2, 0, 3, 4)  # (b,h,nc,n,p) state entering chunk
 
     # ---- inter-chunk: C[t] · exp(S[t]) · h_in ---------------------------
@@ -136,7 +137,17 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64):
 
     y = (y_intra + y_inter).astype(in_dtype)
     y = y.reshape(b, h, l, p).transpose(0, 2, 1, 3)
-    return y + D[None, None, :, None].astype(in_dtype) * x
+    y = y + D[None, None, :, None].astype(in_dtype) * x
+    if return_carry:
+        # carry across an OUTER time split (sequence parallelism): the total
+        # decay over this slice and the final state from a zero init — the
+        # recurrence is affine in h0, so callers fix outputs up as
+        # y += C[t]·exp(S[t])·h0 without a second pass (parallel/seq_scan).
+        # S is a PER-CHUNK cumsum: the slice total is the sum of every
+        # chunk's last entry, not the last chunk's alone
+        total_decay = jnp.exp(S[..., -1].sum(-1))  # (b,h) = exp(Σ_l Δ·A)
+        return y, total_decay, h_fin
+    return y
 
 
 def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,

@@ -109,3 +109,71 @@ def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
         check_vma=False,
     )
     return fn(u, delta, tile(A), B, C, tile(D), z, tile(delta_bias))
+
+
+def _ssd_local(x, dt, A_t, Bm, Cm, D_t, *, axis_name: str, chunk: int):
+    from si_mamba_tpu.ops.ssd import ssd_chunked
+
+    A, D = A_t[0], D_t[0]
+    # local pass from a zero state + this slice's affine map (decay, state)
+    y0, dec_dev, st_dev = ssd_chunked(x, dt, A, Bm, Cm, D, chunk=chunk,
+                                      return_carry=True)
+
+    # cross-device carry: compose the exclusive prefix of earlier slices
+    my = jax.lax.axis_index(axis_name)
+    nshards = jax.lax.axis_size(axis_name)
+    all_dec = lax.all_gather(dec_dev, axis_name)  # (P, b, h)
+    all_st = lax.all_gather(st_dev, axis_name)    # (P, b, h, n, p)
+
+    def step(h, i):
+        use = i < my
+        h = jnp.where(use, all_dec[i][..., None, None] * h + all_st[i], h)
+        return h, None
+
+    h_in, _ = lax.scan(step, jnp.zeros_like(st_dev), jnp.arange(nshards))
+
+    # the recurrence is affine in the entry state: fix the local outputs up
+    # as y += C[t] · exp(S_local[t]) · h_in — no second pass over the data
+    S_loc = jnp.cumsum(dt.astype(jnp.float32)
+                       * A.astype(jnp.float32)[None, None, :], axis=1)  # (b,l,h)
+    corr = jnp.einsum("bln,bhnp->blhp", Cm.astype(jnp.float32),
+                      h_in) * jnp.exp(S_loc)[..., None]
+    return y0 + corr.astype(y0.dtype)
+
+
+def ssd_seq_parallel(x, dt, A, Bm, Cm, D, *, mesh: Mesh, axis: str = "seq",
+                     chunk: int = 64):
+    """Chunked SSD (`ops/ssd.ssd_chunked`) with TIME sharded over ``axis``.
+
+    Same decomposition as ``selective_scan_seq_parallel`` one level up: each
+    device runs the local chunked-matmul SSD from a zero state, one
+    all_gather of the P per-slice affine maps (decay (b,h), state
+    (b,h,n,p)) crosses the seq axis on ICI, and the scalar-decay structure
+    makes the fix-up a single einsum — communication independent of L.
+
+    x: (b, L, h, p); dt: (b, L, h); Bm/Cm: (b, L, n) — sharded on L;
+    A (h,), D (h,) replicated (passed seq-tiled for the same shard_map
+    transpose reason as above). L/axis_size must be a chunk multiple.
+    """
+    nshards = mesh.shape[axis]
+    l_local = x.shape[1] // nshards
+    assert x.shape[1] % nshards == 0 and l_local % chunk == 0, (
+        x.shape, nshards, chunk)
+    from jax.sharding import NamedSharding
+
+    shard = NamedSharding(mesh, P(axis))
+
+    def tile(v):
+        t = jnp.tile(v[None], (nshards,) + (1,) * v.ndim)
+        return jax.lax.with_sharding_constraint(t, shard)
+
+    seq3 = P(None, axis, None)
+    seq4 = P(None, axis, None, None)
+    fn = shard_map(
+        partial(_ssd_local, axis_name=axis, chunk=chunk),
+        mesh=mesh,
+        in_specs=(seq4, seq3, P(axis), seq3, seq3, P(axis)),
+        out_specs=seq4,
+        check_vma=False,
+    )
+    return fn(x, dt, tile(A), Bm, Cm, tile(D))

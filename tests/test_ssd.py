@@ -158,6 +158,44 @@ def test_pointmamba_ssd_mixer_trains():
     assert float(l1) < float(l0)
 
 
+def test_ssd_seq_parallel_matches_chunked():
+    """SSD with TIME sharded over an 8-device 'seq' axis == the single-device
+    chunked result (values): the chunk-carry is affine, so each slice runs
+    from zero and fixes up with one gathered entry state."""
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.seq_scan import ssd_seq_parallel
+
+    args = _inputs(b=2, l=128, h=3, p=8, n=16, seed=4)
+    mesh = make_mesh(jax.devices()[:8], axis_names=("seq",))
+    y = ssd_seq_parallel(*args, mesh=mesh, chunk=16)  # 16 local / 1 chunk each
+    y_ref = ssd_chunked(*args, chunk=16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5,
+                               atol=2e-5 * np.abs(np.asarray(y_ref)).max())
+
+
+def test_ssd_seq_parallel_grads():
+    """Autodiff through the shard_map'd seq-parallel SSD matches the
+    single-device chunked gradients."""
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.seq_scan import ssd_seq_parallel
+
+    x, dt, A, Bm, Cm, D = _inputs(b=1, l=64, h=2, p=4, n=8, seed=5)
+    mesh = make_mesh(jax.devices()[:8], axis_names=("seq",))
+
+    def lp(x, dt, Bm, Cm):
+        return jnp.sum(ssd_seq_parallel(x, dt, A, Bm, Cm, D, mesh=mesh,
+                                        chunk=8) ** 2)
+
+    def ls(x, dt, Bm, Cm):
+        return jnp.sum(ssd_chunked(x, dt, A, Bm, Cm, D, chunk=8) ** 2)
+
+    gp = jax.jit(jax.grad(lp, argnums=(0, 1, 2, 3)))(x, dt, Bm, Cm)
+    gs = jax.grad(ls, argnums=(0, 1, 2, 3))(x, dt, Bm, Cm)
+    for name, a, b_ in zip("x dt B C".split(), gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+
+
 def test_ssd_mixer_odd_width_head_fallback():
     """d_inner not divisible by the default head_dim=128 must fall back to a
     true DIVISOR (d_model=224 -> d_inner=448: floor-division would pick the
