@@ -153,6 +153,7 @@ class SSDMixer(nn.Module):
     head_dim: int = 128
     chunk: int = 128
     out_proj_div: float = 1.0
+    tp_axis: Optional[str] = None  # tensor-parallel mesh axis (context mesh)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -194,11 +195,40 @@ class SSDMixer(nn.Module):
             "out_proj_w": self.param("out_proj", scaled_out_init,
                                      (d_inner, self.d_model)),
         }
+        x = x.astype(self.dtype)
+        # TP path only under jit, for the same reason as MambaMixer above:
+        # flax init runs eagerly and the plain path computes identical values
+        if self.tp_axis is not None and not self.is_initializing():
+            from jax.sharding import PartitionSpec as P
+
+            from si_mamba_tpu.parallel.tensor_parallel import ssd_mixer_tp
+
+            ax = self.tp_axis
+            wsc = jax.lax.with_sharding_constraint
+            d_in, n = d_inner, self.d_state
+            w, cw, cb = params["in_proj_w"], params["conv_w"], params["conv_b"]
+            tp_params = {
+                "in_proj_z": wsc(w[:, :d_in], P(None, ax)),
+                "in_proj_x": wsc(w[:, d_in:2 * d_in], P(None, ax)),
+                "in_proj_bc": w[:, 2 * d_in:2 * d_in + 2 * n],
+                "in_proj_dt": wsc(w[:, 2 * d_in + 2 * n:], P(None, ax)),
+                "conv_x_w": wsc(cw[:d_in], P(ax, None)),
+                "conv_x_b": wsc(cb[:d_in], P(ax)),
+                "conv_bc_w": cw[d_in:],
+                "conv_bc_b": cb[d_in:],
+                "dt_bias": wsc(params["dt_bias"], P(ax)),
+                "A_log": wsc(params["A_log"], P(ax)),
+                "D": wsc(params["D"], P(ax)),
+                "norm_scale": wsc(params["norm_scale"], P(ax)),
+                "out_proj_w": wsc(params["out_proj_w"], P(ax, None)),
+            }
+            return ssd_mixer_tp(tp_params, x, n_heads=n_heads,
+                                d_state=self.d_state, chunk=self.chunk,
+                                axis=ax)
         from si_mamba_tpu.ops.ssd import ssd_mixer_apply
 
-        return ssd_mixer_apply(params, x.astype(self.dtype),
-                               n_heads=n_heads, d_state=self.d_state,
-                               chunk=self.chunk)
+        return ssd_mixer_apply(params, x, n_heads=n_heads,
+                               d_state=self.d_state, chunk=self.chunk)
 
 
 class DropPath(nn.Module):
@@ -246,10 +276,9 @@ class Block(nn.Module):
         norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
         h = norm_cls(epsilon=self.norm_eps, name="norm", dtype=self.dtype)(residual)
         if self.mixer == "ssd":
-            if self.tp_axis is not None:
-                raise NotImplementedError("tp_axis with mixer='ssd'")
             h = SSDMixer(self.d_model, out_proj_div=self.out_proj_div,
-                         dtype=self.dtype, name="mixer")(h)
+                         tp_axis=self.tp_axis, dtype=self.dtype,
+                         name="mixer")(h)
         else:
             h = MambaMixer(self.d_model, out_proj_div=self.out_proj_div,
                            scan_impl=self.scan_impl, tp_axis=self.tp_axis,

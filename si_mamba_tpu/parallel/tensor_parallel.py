@@ -108,3 +108,115 @@ def mamba_mixer_tp(params: Dict[str, Any], x: jax.Array, *,
         check_vma=False,
     )
     return fn(params, x)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel SSD mixer (opt-in mixer='ssd', ops/ssd.py)
+# ---------------------------------------------------------------------------
+# Heads are independent recurrences sharing one (B, C) group, so the split
+# is even cleaner than Mamba-1's: z/x/dt project per-head-group (local),
+# the tiny (2·d_state)-channel B/C projection+conv is computed redundantly
+# on every shard, the chunked SSD runs on the local heads with NO
+# communication, and two psums close the layer — a scalar sum-of-squares
+# for the d_inner-wide gated RMSNorm and the row-sharded out_proj.
+
+
+def shard_ssd_mixer_params(params: Dict[str, Any], mesh: Mesh, *,
+                           n_heads: int, d_state: int, axis: str = "model"
+                           ) -> Dict[str, Any]:
+    """Split + device-put the packed ``ssd_mixer_apply`` params for TP.
+
+    The packed in_proj output layout is [z (d_inner) | x (d_inner) |
+    B (n) | C (n) | dt (h)] and conv covers [x | B | C]; heads shard in
+    contiguous d_inner blocks, so n_heads % axis_size must be 0.
+    """
+    d_model, tot = params["in_proj_w"].shape
+    d_inner = (tot - 2 * d_state - n_heads) // 2
+    named = lambda *spec: NamedSharding(mesh, P(*spec))
+    put = jax.device_put
+    w = params["in_proj_w"]
+    cw, cb = params["conv_w"], params["conv_b"]
+    return {
+        "in_proj_z": put(w[:, :d_inner], named(None, axis)),
+        "in_proj_x": put(w[:, d_inner:2 * d_inner], named(None, axis)),
+        "in_proj_bc": put(w[:, 2 * d_inner:2 * d_inner + 2 * d_state],
+                          named(None, None)),
+        "in_proj_dt": put(w[:, 2 * d_inner + 2 * d_state:], named(None, axis)),
+        "conv_x_w": put(cw[:d_inner], named(axis, None)),
+        "conv_x_b": put(cb[:d_inner], named(axis)),
+        "conv_bc_w": put(cw[d_inner:], named(None, None)),
+        "conv_bc_b": put(cb[d_inner:], named(None)),
+        "dt_bias": put(params["dt_bias"], named(axis)),
+        "A_log": put(params["A_log"], named(axis)),
+        "D": put(params["D"], named(axis)),
+        "norm_scale": put(params["norm_scale"], named(axis)),
+        "out_proj_w": put(params["out_proj_w"], named(axis, None)),
+    }
+
+
+def _ssd_mixer_local(p, u, *, d_state: int, chunk: int, axis: str):
+    from si_mamba_tpu.ops.ssd import ssd_chunked
+
+    f32 = jnp.float32
+    cdt = u.dtype
+    wc = (lambda w: w.astype(cdt)) if cdt != f32 else (lambda w: w)
+    b, l, _ = u.shape
+    z = u @ wc(p["in_proj_z"])            # (b, l, di/M)
+    xi = u @ wc(p["in_proj_x"])
+    bc = u @ wc(p["in_proj_bc"])          # (b, l, 2n) redundant per shard
+    dt_raw = u @ wc(p["in_proj_dt"])      # (b, l, h/M)
+    xi = causal_conv1d(xi, wc(p["conv_x_w"]), wc(p["conv_x_b"]),
+                       activation="silu")
+    bc = causal_conv1d(bc, wc(p["conv_bc_w"]), wc(p["conv_bc_b"]),
+                       activation="silu")
+    Bm, Cm = bc[..., :d_state], bc[..., d_state:]
+    dt = jax.nn.softplus(dt_raw.astype(f32) + p["dt_bias"][None, None, :])
+    A = -jnp.exp(p["A_log"].astype(f32))
+
+    pad = (-l) % chunk
+    if pad:
+        xi, Bm, Cm = (jnp.pad(t, ((0, 0), (0, pad), (0, 0)))
+                      for t in (xi, Bm, Cm))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+    h_loc = p["A_log"].shape[0]
+    di_loc = xi.shape[-1]
+    xh = xi.reshape(b, l + pad, h_loc, di_loc // h_loc)
+    y = ssd_chunked(xh, dt, A, Bm, Cm, p["D"].astype(f32), chunk=chunk)
+    y = y.reshape(b, l + pad, di_loc)[:, :l]
+
+    # gated RMSNorm over the FULL d_inner: one scalar-field psum
+    g = y.astype(f32) * jax.nn.silu(z.astype(f32))
+    ssq = lax.psum(jnp.sum(jnp.square(g), axis=-1, keepdims=True), axis)
+    d_full = di_loc * lax.axis_size(axis)
+    g = g * lax.rsqrt(ssq / d_full + 1e-5) * p["norm_scale"].astype(f32)
+    return lax.psum(g.astype(cdt) @ wc(p["out_proj_w"]), axis)
+
+
+def ssd_mixer_tp(params: Dict[str, Any], u: jax.Array, *,
+                 mesh: Mesh | None = None, n_heads: int, d_state: int,
+                 chunk: int = 128, axis: str = "model") -> jax.Array:
+    """Tensor-parallel SSD mixer — params from ``shard_ssd_mixer_params``;
+    u replicated over ``axis``. Matches ``ssd_mixer_apply`` on the packed
+    params (oracle-pinned in tests/test_ssd.py). Heads shard in contiguous
+    blocks, so n_heads must divide by the axis size."""
+    if mesh is not None and n_heads % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"ssd_mixer_tp shards whole heads: n_heads={n_heads} must be "
+            f"divisible by the '{axis}' axis size {mesh.shape[axis]}")
+    pspec = {
+        "in_proj_z": P(None, axis), "in_proj_x": P(None, axis),
+        "in_proj_bc": P(None, None), "in_proj_dt": P(None, axis),
+        "conv_x_w": P(axis, None), "conv_x_b": P(axis),
+        "conv_bc_w": P(None, None), "conv_bc_b": P(None),
+        "dt_bias": P(axis), "A_log": P(axis), "D": P(axis),
+        "norm_scale": P(axis), "out_proj_w": P(axis, None),
+    }
+    fn = shard_map(
+        partial(_ssd_mixer_local, d_state=d_state, chunk=chunk, axis=axis),
+        mesh=mesh,
+        in_specs=(pspec, P()),
+        out_specs=P(),
+        axis_names=frozenset({axis}),
+        check_vma=False,
+    )
+    return fn(params, u)

@@ -196,6 +196,58 @@ def test_ssd_seq_parallel_grads():
                                    atol=1e-4, err_msg=name)
 
 
+def test_ssd_mixer_tensor_parallel_matches():
+    """TP SSD mixer (heads over a 4-way 'model' axis) == the single-device
+    packed ssd_mixer_apply, values and input grads."""
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.tensor_parallel import (
+        shard_ssd_mixer_params,
+        ssd_mixer_tp,
+    )
+
+    params = _mixer_params()  # d_model=32, n_heads=4, head_p=8, d_state=16
+    r = np.random.default_rng(2)
+    u = jnp.asarray(r.standard_normal((2, 64, 32)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:4], axis_names=("model",))
+    tp_params = shard_ssd_mixer_params(params, mesh, n_heads=4, d_state=16)
+
+    y_ref = ssd_mixer_apply(params, u, n_heads=4, d_state=16, chunk=32)
+    y_tp = jax.jit(lambda p, x: ssd_mixer_tp(p, x, mesh=mesh, n_heads=4,
+                                             d_state=16, chunk=32))(tp_params, u)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda x: jnp.sum(ssd_mixer_apply(
+        params, x, n_heads=4, d_state=16, chunk=32) ** 2))(u)
+    g_tp = jax.jit(jax.grad(lambda x: jnp.sum(ssd_mixer_tp(
+        tp_params, x, mesh=mesh, n_heads=4, d_state=16, chunk=32) ** 2)))(u)
+    np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_ssd_tp_in_model_stack():
+    """MixerModel with mixer='ssd' and tp_axis='model' (2 heads over a 2-way
+    axis, context mesh) matches the replicated SSD stack on the same params."""
+    from si_mamba_tpu.models.layers import MixerModel
+    from si_mamba_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    # d_model=128 -> d_inner=256 -> head_dim=128 -> 2 heads (whole heads
+    # must divide the model-axis size)
+    mesh = make_mesh(jax.devices()[:2], axis_names=("model",))
+    mm = MixerModel(d_model=128, n_layer=2, mixer="ssd")
+    x = jnp.asarray(rng.standard_normal((2, 32, 128)).astype(np.float32))
+    pos = jnp.zeros_like(x)
+    vm = mm.init(jax.random.key(1), x, pos)
+    y0 = mm.apply(vm, x, pos)
+
+    mm_tp = MixerModel(d_model=128, n_layer=2, mixer="ssd", tp_axis="model")
+    with jax.set_mesh(mesh):
+        y1 = jax.jit(lambda v, x, p: mm_tp.apply(v, x, p))(vm, x, pos)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=2e-4,
+                               atol=2e-5)
+
+
 def test_ssd_mixer_odd_width_head_fallback():
     """d_inner not divisible by the default head_dim=128 must fall back to a
     true DIVISOR (d_model=224 -> d_inner=448: floor-division would pick the
