@@ -53,3 +53,18 @@ def pytest_collection_modifyitems(items):
     for item in items:
         if item.name.split("[")[0] in _SLOW:
             item.add_marker(pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches after each test module.
+
+    The full one-process suite (200+ tests, thousands of XLA:CPU
+    compilations) intermittently SEGFAULTS inside LLVM during a late
+    compile (observed twice at the ~90% mark in backend_compile_and_load;
+    the same files pass in isolation or in fresh-process slices — the
+    crash follows accumulated compiler state, not any specific test).
+    Clearing jax's caches at module boundaries bounds that accumulation;
+    per-module recompiles on CPU are cheap relative to the slow tests."""
+    yield
+    jax.clear_caches()
