@@ -44,9 +44,16 @@ _MIXER_KEYMAP = {
     "x_proj": "x_proj_w", "dt_proj": "dt_proj_w", "dt_proj_bias": "dt_proj_b",
     "A_log": "A_log", "D": "D", "out_proj": "out_proj_w",
 }
+# flax param names → packed ssd_mixer_apply keys (models/layers.SSDMixer)
+_SSD_KEYMAP = {
+    "in_proj": "in_proj_w", "conv1d_weight": "conv_w", "conv1d_bias": "conv_b",
+    "dt_bias": "dt_bias", "A_log": "A_log", "D": "D",
+    "norm_scale": "norm_scale", "out_proj": "out_proj_w",
+}
 
 
-def stack_mixer_params(params: dict, n_layer: int, n_stages: int):
+def stack_mixer_params(params: dict, n_layer: int, n_stages: int,
+                       mixer: str = "mamba"):
     """MixerModel param dict ({'layers_i': {'norm', 'mixer'}, 'norm_f'}) →
     (stacked, norm_f) where every stacked leaf has leading dims
     (n_stages, n_layer // n_stages)."""
@@ -62,12 +69,13 @@ def stack_mixer_params(params: dict, n_layer: int, n_stages: int):
         x = jnp.stack(rows)
         return x.reshape((n_stages, per) + x.shape[1:])
 
+    keymap = _SSD_KEYMAP if mixer == "ssd" else _MIXER_KEYMAP
     stacked = {
         "norm_scale": leaf(lambda l: l["norm"]["scale"]),
         "norm_bias": leaf(lambda l: l["norm"].get("bias",
                                                   jnp.zeros_like(l["norm"]["scale"]))),
         "mixer": {v: leaf(lambda l, k=k: l["mixer"][k])
-                  for k, v in _MIXER_KEYMAP.items()},
+                  for k, v in keymap.items()},
     }
     return stacked, params["norm_f"]
 
@@ -81,7 +89,7 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 
 def _stage_apply(stage_params, h, res, *, d_state, dt_rank, scan_impl,
-                 norm_eps=1e-5):
+                 norm_eps=1e-5, mixer="mamba"):
     """Apply this stage's layers_per_stage blocks to the (h, res) pair."""
     per = stage_params["norm_scale"].shape[0]
     for i in range(per):
@@ -89,20 +97,31 @@ def _stage_apply(stage_params, h, res, *, d_state, dt_rank, scan_impl,
         hn = _layer_norm(res, stage_params["norm_scale"][i],
                          stage_params["norm_bias"][i], eps=norm_eps)
         lp = {k: v[i] for k, v in stage_params["mixer"].items()}
-        h = mamba_mixer_apply(lp, hn, d_state=d_state, dt_rank=dt_rank,
-                              impl=scan_impl)
+        if mixer == "ssd":
+            from si_mamba_tpu.ops.ssd import ssd_mixer_apply
+
+            # geometry recoverable from the packed shapes: d_inner from
+            # out_proj rows, d_state from the conv's extra (B,C) channels
+            d_inner = lp["out_proj_w"].shape[0]
+            n = (lp["conv_w"].shape[0] - d_inner) // 2
+            h = ssd_mixer_apply(lp, hn, n_heads=lp["A_log"].shape[0],
+                                d_state=n)
+        else:
+            h = mamba_mixer_apply(lp, hn, d_state=d_state, dt_rank=dt_rank,
+                                  impl=scan_impl)
     return h, res
 
 
 def pipeline_mixer_apply(stacked, norm_f, x, *, mesh: Mesh, axis: str = "pipe",
                          n_micro: int, d_state: int = 16,
                          dt_rank: int | None = None,
-                         scan_impl: str = "chunked", norm_eps: float = 1e-5):
+                         scan_impl: str = "chunked", norm_eps: float = 1e-5,
+                         mixer: str = "mamba"):
     """Forward the full mixer stack with depth sharded over ``axis``.
 
-    stacked/norm_f from ``stack_mixer_params``; x = tokens + pos,
-    (B, L, D) with B % n_micro == 0. Returns norm_f(h + res), identical to
-    ``MixerModel.apply`` (deterministic mode).
+    stacked/norm_f from ``stack_mixer_params`` (pass the same ``mixer``);
+    x = tokens + pos, (B, L, D) with B % n_micro == 0. Returns
+    norm_f(h + res), identical to ``MixerModel.apply`` (deterministic mode).
     """
     B, L, D = x.shape
     n_stages = mesh.shape[axis]
@@ -141,7 +160,7 @@ def pipeline_mixer_apply(stacked, norm_f, x, *, mesh: Mesh, axis: str = "pipe",
             res_in = jnp.where(first & (t < n_micro), jnp.zeros_like(res), res)
             h2, res2 = _stage_apply(sp, h_in, res_in, d_state=d_state,
                                     dt_rank=dt_rank, scan_impl=scan_impl,
-                                    norm_eps=norm_eps)
+                                    norm_eps=norm_eps, mixer=mixer)
             # final stage emits microbatch t - (nst-1)
             out_mb = (h2 + res2).astype(jnp.float32)
             emit = (stage == nst - 1) & (t >= nst - 1)
@@ -196,14 +215,13 @@ def pipeline_pointmamba_logits(variables: dict, cfg, pts, *, mesh: Mesh,
             f"pipeline_pointmamba_logits covers the plain MixerModel stack "
             f"only (add_after_layer={cfg.add_after_layer}, "
             f"rms_norm={cfg.rms_norm})")
-    if jnp.dtype(cfg.dtype) != jnp.float32 or cfg.mixer != "mamba":
-        # This composition runs fp32 Mamba-1 end-to-end; a bf16 config would
+    if jnp.dtype(cfg.dtype) != jnp.float32:
+        # This composition runs fp32 end-to-end; a bf16 config would
         # silently diverge from PointMamba.apply (bf16 encoder/head and
-        # bf16-cast eigvecs change SAST argsort tie-breaks), and the stage
-        # body only knows the Mamba-1 param layout.
+        # bf16-cast eigvecs change SAST argsort tie-breaks).
         raise NotImplementedError(
-            f"pipeline_pointmamba_logits supports dtype=float32 + "
-            f"mixer='mamba' only (got dtype={cfg.dtype}, mixer={cfg.mixer})")
+            f"pipeline_pointmamba_logits supports dtype=float32 only "
+            f"(got dtype={cfg.dtype})")
     p, bs = variables["params"], variables["batch_stats"]
     grouped = group_divider(pts, cfg.num_group, cfg.group_size)
     tokens = PatchEncoder(cfg.encoder_dims).apply(
@@ -225,9 +243,11 @@ def pipeline_pointmamba_logits(variables: dict, cfg, pts, *, mesh: Mesh,
         raise ValueError(cfg.method)
 
     n_stages = mesh.shape[axis]
-    stacked, norm_f = stack_mixer_params(p["blocks"], cfg.depth, n_stages)
+    stacked, norm_f = stack_mixer_params(p["blocks"], cfg.depth, n_stages,
+                                         mixer=cfg.mixer)
     h = pipeline_mixer_apply(stacked, norm_f, x + pos_seq, mesh=mesh,
-                             axis=axis, n_micro=n_micro, scan_impl=scan_impl)
+                             axis=axis, n_micro=n_micro, scan_impl=scan_impl,
+                             mixer=cfg.mixer)
     h = _layer_norm(h, p["norm"]["scale"], p["norm"]["bias"])
     feat = jnp.mean(h, axis=1)
     return ClsHead(cfg.cls_dim, drop=cfg.cls_head_dropout).apply(

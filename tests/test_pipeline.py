@@ -94,6 +94,29 @@ def test_pipeline_full_classifier_logits_match():
                                    err_msg=f"n_micro={n_micro}")
 
 
+def test_pipeline_full_classifier_ssd_logits_match():
+    """The pipelined classifier with the opt-in SSD mixer (4 stages,
+    n_micro=2) == PointMamba.apply(mixer='ssd') on the same params."""
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.pipeline import pipeline_pointmamba_logits
+
+    cfg = PointMambaConfig(trans_dim=32, depth=4, cls_dim=4, group_size=8,
+                           num_group=16, encoder_dims=32, knn_graph=4,
+                           drop_path=0.0, mixer="ssd")
+    model = PointMamba(cfg)
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.standard_normal((4, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), pts[:2], train=False)
+    ref = np.asarray(model.apply(variables, pts, train=False))
+
+    mesh = make_mesh(jax.devices()[:4], axis_names=("pipe",))
+    got = np.asarray(jax.jit(
+        lambda v, p: pipeline_pointmamba_logits(
+            v, cfg, p, mesh=mesh, n_micro=2))(variables, pts))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-5)
+
+
 def test_pipeline_non_divisible_depth_raises():
     from si_mamba_tpu.parallel.pipeline import stack_mixer_params
 
