@@ -107,3 +107,21 @@ def test_predictor_from_orbax_checkpoint(tmp_path):
     clouds = np.random.default_rng(2).standard_normal((3, 128, 3)).astype(np.float32)
     direct = np.asarray(model.apply(variables, jnp.asarray(clouds), train=False))
     np.testing.assert_allclose(p.logits(clouds), direct, rtol=2e-5, atol=2e-5)
+
+
+def test_predictor_ssd_mixer():
+    """The serving Predictor works with the opt-in SSD mixer and matches the
+    direct SSD forward (config flows through PointMambaConfig.mixer)."""
+    cfg = PointMambaConfig(trans_dim=32, depth=2, cls_dim=4, group_size=8,
+                           num_group=16, encoder_dims=32, knn_graph=4,
+                           drop_path=0.0, mixer="ssd")
+    model = PointMamba(cfg)
+    pts = jnp.zeros((2, 128, 3))
+    variables = model.init(jax.random.key(0), pts, train=False)
+    p = Predictor(model=model, variables=variables, npoints=128, max_batch=4)
+    rng = np.random.default_rng(2)
+    clouds = rng.standard_normal((3, 128, 3)).astype(np.float32)
+    logits = p.logits(clouds)
+    direct = np.asarray(model.apply(variables, jnp.asarray(clouds[:2]),
+                                    train=False))
+    np.testing.assert_allclose(logits[:2], direct, rtol=2e-5, atol=2e-5)
