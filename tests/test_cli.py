@@ -84,3 +84,19 @@ def test_ssd_preset_config_resolves():
     assert mc.mixer == "ssd"
     assert mc.dtype == "bfloat16" and mc.spectral_method == "subspace"
     assert mc.trans_dim == 384 and mc.depth == 12  # full recipe inherited
+
+
+def test_pretrain_ssd_preset_config_resolves():
+    """The MAE SSD preset merges into the full pretrain recipe with
+    mixer='ssd' + the perf switches on the nested transformer_config."""
+    from si_mamba_tpu.models.point_mae import PointMAEConfig
+    from si_mamba_tpu.train.config import get_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_config(os.path.join(repo, "cfgs", "pretrain_ssd.yaml"))
+    t = dict(cfg.model.transformer_config)
+    mc = PointMAEConfig(**{k: v for k, v in t.items()
+                           if k in PointMAEConfig.__dataclass_fields__})
+    assert mc.mixer == "ssd" and mc.dtype == "bfloat16"
+    assert mc.wavelet_solver == "jacobi"
+    assert mc.trans_dim == 384 and mc.depth == 12  # recipe inherited
