@@ -5,7 +5,10 @@ assembly via shard_batch, the jitted DP train step over the multi-host mesh,
 per-process local-mesh validation with cross-host count reduction, and the
 rank-0-gated checkpoint/scalars writes.
 
-Usage: python tests/mh_worker.py <proc_id> <port> <exp_dir>
+Usage: python tests/mh_worker.py <proc_id> <port> <exp_dir> [tp]
+``tp`` composes 2-way tensor parallelism with the data axis — the global
+mesh becomes ('data', 'model') = (4, 2) across the two hosts, with every
+mixer's d_inner sharded over 'model' (runner path runner_finetune.py:181).
 Writes <exp_dir>/result_<proc_id>.json for the parent test to compare.
 """
 
@@ -14,6 +17,7 @@ import os
 import sys
 
 proc_id, port, exp_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+use_tp = len(sys.argv) > 4 and sys.argv[4] == "tp"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=4")
 
@@ -61,6 +65,9 @@ total_bs: 8
 max_epoch: 0
 grad_norm_clip: 10
 """)))
+if use_tp:
+    cfg["tp_size"] = 2
+    cfg.model["tp_axis"] = "model"
 
 ds = _CloudDataset()
 bs = per_process_batch(int(cfg.total_bs))  # 8 global -> 4 per process

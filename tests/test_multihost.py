@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_finetune_run(tmp_path):
+def _run_two_workers(tmp_path, extra=()):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "mh_worker.py")
     port = _free_port()
@@ -37,7 +37,7 @@ def test_two_process_finetune_run(tmp_path):
     # startup unless told otherwise; the worker forces CPU itself
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), str(port), str(tmp_path)],
+        [sys.executable, worker, str(i), str(port), str(tmp_path), *extra],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
     outs = [p.communicate(timeout=900)[0] for p in procs]
@@ -48,6 +48,11 @@ def test_two_process_finetune_run(tmp_path):
     for i in range(2):
         with open(tmp_path / f"result_{i}.json") as f:
             results.append(json.load(f))
+    return results
+
+
+def test_two_process_finetune_run(tmp_path):
+    results = _run_two_workers(tmp_path)
 
     # both processes computed the SAME validation accuracy (cross-host count
     # reduction) and hold the SAME replicated params (XLA grad psum)
@@ -61,3 +66,18 @@ def test_two_process_finetune_run(tmp_path):
     assert results[0]["ckpt_last_exists"]
     assert (tmp_path / "ckpt-last").exists()
     assert (tmp_path / "scalars.jsonl").exists()
+
+
+def test_two_process_dp_tp_finetune_run(tmp_path):
+    """Composed multi-host DP×TP: the same two-process run over a global
+    ('data','model') = (4,2) mesh with every mixer's d_inner sharded over
+    'model' — the production multi-chip layout (data on DCN-ish host
+    boundary, TP inside). Both processes must agree exactly as in the DP
+    case: identical eval accuracy and identical replicated-param checksums
+    after the globally-jitted step."""
+    results = _run_two_workers(tmp_path, extra=("tp",))
+    assert results[0]["acc"] == pytest.approx(results[1]["acc"], abs=1e-6)
+    assert results[0]["param_checksum"] == pytest.approx(
+        results[1]["param_checksum"], rel=1e-6)
+    assert results[0]["step"] == results[1]["step"] == 2
+    assert (tmp_path / "ckpt-last").exists()
