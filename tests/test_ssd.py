@@ -173,6 +173,24 @@ def test_ssd_seq_parallel_matches_chunked():
                                atol=2e-5 * np.abs(np.asarray(y_ref)).max())
 
 
+def test_ssd_seq_parallel_bf16():
+    """bf16 inputs through the sharded path: output dtype preserved and
+    values track the fp32 single-device result within bf16 tolerance."""
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.seq_scan import ssd_seq_parallel
+
+    x, dt, A, Bm, Cm, D = _inputs(b=1, l=64, h=2, p=8, n=8, seed=6)
+    mesh = make_mesh(jax.devices()[:8], axis_names=("seq",))
+    y32 = np.asarray(ssd_chunked(x, dt, A, Bm, Cm, D, chunk=8))
+    yb = ssd_seq_parallel(x.astype(jnp.bfloat16), dt, A,
+                          Bm.astype(jnp.bfloat16), Cm.astype(jnp.bfloat16),
+                          D, mesh=mesh, chunk=8)
+    assert yb.dtype == jnp.bfloat16
+    rel = (np.abs(np.asarray(yb, np.float32) - y32).max()
+           / (np.abs(y32).max() + 1e-8))
+    assert rel < 0.05, rel
+
+
 def test_ssd_seq_parallel_grads():
     """Autodiff through the shard_map'd seq-parallel SSD matches the
     single-device chunked gradients."""
