@@ -89,7 +89,7 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 
 def _stage_apply(stage_params, h, res, *, d_state, dt_rank, scan_impl,
-                 norm_eps=1e-5, mixer="mamba"):
+                 norm_eps=1e-5, mixer="mamba", ssd_chunk=128):
     """Apply this stage's layers_per_stage blocks to the (h, res) pair."""
     per = stage_params["norm_scale"].shape[0]
     for i in range(per):
@@ -101,11 +101,13 @@ def _stage_apply(stage_params, h, res, *, d_state, dt_rank, scan_impl,
             from si_mamba_tpu.ops.ssd import ssd_mixer_apply
 
             # geometry recoverable from the packed shapes: d_inner from
-            # out_proj rows, d_state from the conv's extra (B,C) channels
+            # out_proj rows, d_state from the conv's extra (B,C) channels —
+            # but NOT chunk, which must be passed to match SSDMixer's
+            # full-tile default (q=64 would half-fill the MXU tile)
             d_inner = lp["out_proj_w"].shape[0]
             n = (lp["conv_w"].shape[0] - d_inner) // 2
             h = ssd_mixer_apply(lp, hn, n_heads=lp["A_log"].shape[0],
-                                d_state=n)
+                                d_state=n, chunk=ssd_chunk)
         else:
             h = mamba_mixer_apply(lp, hn, d_state=d_state, dt_rank=dt_rank,
                                   impl=scan_impl)

@@ -34,6 +34,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 
+def _compose_exclusive_prefix(decay, state, axis_name: str, apply_decay):
+    """Cross-device affine carry shared by both seq-parallel recurrences:
+    all_gather each shard's slice map (decay, state-from-zero) and compose
+    the exclusive prefix of EARLIER shards locally (P is small), returning
+    this shard's entry state. ``apply_decay(d, h)`` broadcasts the decay
+    onto the carried state (per-(d,n) for Mamba-1, per-head scalar for SSD).
+    """
+    my = jax.lax.axis_index(axis_name)
+    nshards = jax.lax.axis_size(axis_name)
+    all_d = lax.all_gather(decay, axis_name)
+    all_s = lax.all_gather(state, axis_name)
+
+    def step(h, i):
+        h = jnp.where(i < my, apply_decay(all_d[i], h) + all_s[i], h)
+        return h, None
+
+    h_in, _ = lax.scan(step, jnp.zeros_like(state), jnp.arange(nshards))
+    return h_in
+
+
 def _local_scan(u, delta, A_t, B, C, D_t, z, dtb_t, axis_name: str):
     A = A_t[0]  # (d, n) local copy of the seq-tiled params
     D = D_t[0]
@@ -54,17 +74,8 @@ def _local_scan(u, delta, A_t, B, C, D_t, z, dtb_t, axis_name: str):
     acc_a, acc_b = lax.associative_scan(combine, (dA, dBu), axis=1)
 
     # cross-device carry: compose the exclusive prefix of earlier slices
-    my = jax.lax.axis_index(axis_name)
-    nshards = jax.lax.axis_size(axis_name)
-    all_a = lax.all_gather(acc_a[:, -1], axis_name)  # (P, b, d, n)
-    all_b = lax.all_gather(acc_b[:, -1], axis_name)
-
-    def step(h, i):
-        use = i < my
-        h = jnp.where(use, all_a[i] * h + all_b[i], h)
-        return h, None
-
-    h_in, _ = lax.scan(step, jnp.zeros_like(acc_b[:, -1]), jnp.arange(nshards))
+    h_in = _compose_exclusive_prefix(acc_a[:, -1], acc_b[:, -1], axis_name,
+                                     lambda d, h: d * h)
 
     hs = acc_a * h_in[:, None] + acc_b
     y = jnp.einsum("bldn,bln->bld", hs, C.astype(jnp.float32))
@@ -120,17 +131,8 @@ def _ssd_local(x, dt, A_t, Bm, Cm, D_t, *, axis_name: str, chunk: int):
                                       return_carry=True)
 
     # cross-device carry: compose the exclusive prefix of earlier slices
-    my = jax.lax.axis_index(axis_name)
-    nshards = jax.lax.axis_size(axis_name)
-    all_dec = lax.all_gather(dec_dev, axis_name)  # (P, b, h)
-    all_st = lax.all_gather(st_dev, axis_name)    # (P, b, h, n, p)
-
-    def step(h, i):
-        use = i < my
-        h = jnp.where(use, all_dec[i][..., None, None] * h + all_st[i], h)
-        return h, None
-
-    h_in, _ = lax.scan(step, jnp.zeros_like(st_dev), jnp.arange(nshards))
+    h_in = _compose_exclusive_prefix(
+        dec_dev, st_dev, axis_name, lambda d, h: d[..., None, None] * h)
 
     # the recurrence is affine in the entry state: fix the local outputs up
     # as y += C[t] · exp(S_local[t]) · h_in — no second pass over the data

@@ -199,10 +199,20 @@ def ssd_mixer_tp(params: Dict[str, Any], u: jax.Array, *,
     u replicated over ``axis``. Matches ``ssd_mixer_apply`` on the packed
     params (oracle-pinned in tests/test_ssd.py). Heads shard in contiguous
     blocks, so n_heads must divide by the axis size."""
-    if mesh is not None and n_heads % mesh.shape[axis] != 0:
+    # resolve the axis size from the explicit mesh or the context mesh
+    # (jax.set_mesh) so the divisibility guard fires on BOTH call paths —
+    # without it a bad head count surfaces as a cryptic shard_map
+    # uneven-axis error deep inside _ssd_mixer_local
+    if mesh is not None:
+        axis_size = mesh.shape[axis]
+    else:
+        ctx = jax.sharding.get_abstract_mesh()
+        axis_size = ctx.shape[axis] if (not ctx.empty and axis in
+                                        ctx.axis_names) else None
+    if axis_size is not None and n_heads % axis_size != 0:
         raise ValueError(
             f"ssd_mixer_tp shards whole heads: n_heads={n_heads} must be "
-            f"divisible by the '{axis}' axis size {mesh.shape[axis]}")
+            f"divisible by the '{axis}' axis size {axis_size}")
     pspec = {
         "in_proj_z": P(None, axis), "in_proj_x": P(None, axis),
         "in_proj_bc": P(None, None), "in_proj_dt": P(None, axis),

@@ -80,4 +80,8 @@ def test_two_process_dp_tp_finetune_run(tmp_path):
     assert results[0]["param_checksum"] == pytest.approx(
         results[1]["param_checksum"], rel=1e-6)
     assert results[0]["step"] == results[1]["step"] == 2
+    # rank-0 writer gating must survive the 2-D mesh (process_index is
+    # mesh-independent, but pin it): rank 0 wrote ckpt + scalars
+    assert results[0]["ckpt_last_exists"]
     assert (tmp_path / "ckpt-last").exists()
+    assert (tmp_path / "scalars.jsonl").exists()

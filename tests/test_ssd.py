@@ -167,8 +167,11 @@ def test_ssd_seq_parallel_matches_chunked():
 
     args = _inputs(b=2, l=128, h=3, p=8, n=16, seed=4)
     mesh = make_mesh(jax.devices()[:8], axis_names=("seq",))
-    y = ssd_seq_parallel(*args, mesh=mesh, chunk=16)  # 16 local / 1 chunk each
-    y_ref = ssd_chunked(*args, chunk=16)
+    # chunk=8 with l_local=16 -> TWO chunks per shard: exercises the
+    # slice-total decay being the SUM of every chunk's last entry (a
+    # last-chunk-only regression would pass any 1-chunk-per-shard test)
+    y = ssd_seq_parallel(*args, mesh=mesh, chunk=8)
+    y_ref = ssd_chunked(*args, chunk=8)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5,
                                atol=2e-5 * np.abs(np.asarray(y_ref)).max())
 
