@@ -32,6 +32,10 @@ def get_args(argv=None):
                         "test_tsne, tools/runner_finetune.py:615-631)")
     p.add_argument("--vote", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the experiment's ckpt-last when one "
+                        "exists, start fresh otherwise (preemption-safe "
+                        "relaunch; beyond-reference)")
     p.add_argument("--ckpts", type=str, default=None)
     p.add_argument("--finetune_model", type=str, default=None,
                    help="pretrain checkpoint (orbax dir or torch .pth)")
@@ -120,6 +124,19 @@ def _load_pretrained(path: str):
     return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
 
+def _should_auto_resume(args, snapshot: str) -> bool:
+    """Preemption-safe restarts (beyond-reference, SURVEY §5.3): with
+    --auto_resume a relaunched job resumes from the experiment's ckpt-last
+    when one exists (plus its config snapshot) and starts fresh otherwise —
+    a preempted/requeued run needs no operator decision. Inert when the
+    experiment dir is empty; --resume keeps strict fail-if-absent
+    semantics."""
+    return (getattr(args, "auto_resume", False) and not args.test
+            and not args.resume
+            and os.path.exists(os.path.join(args.experiment_path, "ckpt-last"))
+            and os.path.exists(snapshot))
+
+
 def main(argv=None):
     # Multi-host rendezvous MUST precede any other jax use (reference
     # main.py:53 init_dist before everything); env-gated no-op single-host.
@@ -128,6 +145,9 @@ def main(argv=None):
     maybe_initialize_distributed()
     args = get_args(argv)
     snapshot = os.path.join(args.experiment_path, "config.yaml")
+    if _should_auto_resume(args, snapshot):
+        args.resume = True
+        print(f"[AUTO-RESUME] ckpt-last found in {args.experiment_path}")
     if args.resume:
         # resume re-reads the experiment's saved config, not the CLI one
         # (reference utils/config.py:48-54)

@@ -100,3 +100,30 @@ def test_pretrain_ssd_preset_config_resolves():
     assert mc.mixer == "ssd" and mc.dtype == "bfloat16"
     assert mc.wavelet_solver == "jacobi"
     assert mc.trans_dim == 384 and mc.depth == 12  # recipe inherited
+
+
+def test_auto_resume_decision(tmp_path, monkeypatch):
+    """--auto_resume resumes iff ckpt-last + config snapshot exist, never
+    fights --test/--resume, and is inert on a fresh experiment dir."""
+    from si_mamba_tpu.train.cli import _should_auto_resume, get_args
+
+    monkeypatch.chdir(tmp_path)
+    args = get_args(["--config", "cfgs/x.yaml", "--auto_resume"])
+    snap = os.path.join(args.experiment_path, "config.yaml")
+    # fresh dir: no ckpt-last -> start fresh
+    assert not _should_auto_resume(args, snap)
+    # ckpt-last without a config snapshot (partial state) -> start fresh
+    os.makedirs(os.path.join(args.experiment_path, "ckpt-last"), exist_ok=True)
+    assert not _should_auto_resume(args, snap)
+    # complete prior run -> resume
+    open(snap, "w").write("{}")
+    assert _should_auto_resume(args, snap)
+    # explicit --resume / --test paths are left alone
+    args.resume = True
+    assert not _should_auto_resume(args, snap)
+    args.resume, args.test = False, True
+    assert not _should_auto_resume(args, snap)
+    # without the flag: inert
+    args.test = False
+    args.auto_resume = False
+    assert not _should_auto_resume(args, snap)
