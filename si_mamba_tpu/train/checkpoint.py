@@ -37,8 +37,27 @@ def _path_unflatten(template: Any, flat: dict) -> Any:
         jax.tree_util.tree_structure(template), leaves)
 
 
+_ASYNC_CKPTR: ocp.AsyncCheckpointer | None = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint save has committed.
+    Call before reading a just-saved checkpoint and at end of training."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(exp_dir: str, prefix: str, state, epoch: int,
-                    metrics: dict | None = None, best_metrics: dict | None = None) -> None:
+                    metrics: dict | None = None,
+                    best_metrics: dict | None = None,
+                    async_save: bool = False) -> None:
     # Multi-host: EVERY process must call this (orbax's save is a
     # collective — its internal global-sync barrier deadlocks a process
     # that skips the call; only the primary host actually persists the
@@ -56,11 +75,21 @@ def save_checkpoint(exp_dir: str, prefix: str, state, epoch: int,
                  "metrics": metrics or {},
                  "best_metrics": best_metrics or {}},
     }
+    if async_save:
+        # serialization/commit happens on orbax's background thread while
+        # the next epoch trains (the device_get above already snapshotted
+        # the host payload); one save in flight at a time — wait for the
+        # previous one first. Opt-in via config `async_ckpt: true`.
+        c = _async_ckptr()
+        c.wait_until_finished()
+        c.save(_path(exp_dir, prefix), payload, force=True)
+        return
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(_path(exp_dir, prefix), payload, force=True)
 
 
 def load_checkpoint(exp_dir: str, prefix: str) -> dict | None:
+    wait_for_saves()  # a just-written async ckpt must be committed first
     path = _path(exp_dir, prefix)
     if not os.path.exists(path):
         return None

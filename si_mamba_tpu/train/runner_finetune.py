@@ -253,6 +253,9 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
             lambda s: localize(s, emesh))
         writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
         rng = jax.random.key(seed)
+        # opt-in async checkpointing: orbax commits on a background thread
+        # while the next epoch trains (checkpoint.save_checkpoint)
+        async_ckpt = bool(config.get("async_ckpt", False))
 
         max_epoch = int(config.max_epoch)
         for epoch in range(start_epoch, max_epoch + 1):
@@ -281,7 +284,8 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
             if better:
                 best_metrics = metrics
                 ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch,
-                                     metrics.state_dict(), best_metrics.state_dict())
+                                     metrics.state_dict(), best_metrics.state_dict(),
+                                     async_save=async_ckpt)
             # vote thresholds from reference runner_finetune.py:278-288
             if vote and (acc > 92.1 or (better and acc > 91)):
                 vacc = validate_vote(vote_step, eval_state(state), val_loader)
@@ -289,10 +293,13 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
                 if AccMetric(vacc).better_than(best_vote):
                     best_vote = AccMetric(vacc)
                     ckpt.save_checkpoint(exp_dir, "ckpt-best_vote", state, epoch,
-                                         {"acc": vacc}, best_vote.state_dict())
+                                         {"acc": vacc}, best_vote.state_dict(),
+                                         async_save=async_ckpt)
             ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch,
-                                 metrics.state_dict(), best_metrics.state_dict())
+                                 metrics.state_dict(), best_metrics.state_dict(),
+                                 async_save=async_ckpt)
     finally:
+        ckpt.wait_for_saves()  # commit any in-flight async checkpoint
         mesh_ctx.__exit__(None, None, None)
         if writer is not None:
             writer.close()

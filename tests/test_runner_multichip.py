@@ -60,7 +60,11 @@ def test_finetune_run_multichip_and_resume(tmp_path):
     train = Loader(ds, 8, shuffle=True, drop_last=True)
     val = Loader(ds, 8, shuffle=False)
 
-    state, best = finetune_run(_finetune_cfg(0), train, val, str(tmp_path), seed=0)
+    # async_ckpt exercises the background-committed orbax save through the
+    # real runner (the riskier path; sync saves are unit- and mh-tested)
+    cfg0 = _finetune_cfg(0)
+    cfg0["async_ckpt"] = True
+    state, best = finetune_run(cfg0, train, val, str(tmp_path), seed=0)
     _assert_replicated(state)
     assert os.path.exists(tmp_path / "ckpt-last")
 

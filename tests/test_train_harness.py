@@ -118,6 +118,33 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(state2.params["w"]), 1.0)
 
 
+def test_checkpoint_async_roundtrip(tmp_path):
+    """async_save commits on orbax's background thread; back-to-back saves
+    serialize (wait-then-save) and resume reads the committed payload."""
+    from si_mamba_tpu.train import checkpoint as ckpt
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState
+
+    params = {"w": jnp.full((4, 4), 3.0), "b": jnp.zeros(4)}
+    stats = {"bn": {"mean": jnp.zeros(4), "var": jnp.ones(4)}}
+    tx, _ = build_optimizer(params)
+    state = TrainState.create(params, stats, tx)
+    # two back-to-back async saves to different prefixes, then overwrite
+    # ckpt-last — exercises the wait-before-next-save path and force=True
+    ckpt.save_checkpoint(str(tmp_path), "ckpt-best", state, epoch=1,
+                         metrics={"acc": 50.0}, async_save=True)
+    ckpt.save_checkpoint(str(tmp_path), "ckpt-last", state, epoch=1,
+                         async_save=True)
+    ckpt.save_checkpoint(str(tmp_path), "ckpt-last", state, epoch=2,
+                         best_metrics={"acc": 61.0}, async_save=True)
+    ckpt.wait_for_saves()
+    state2 = TrainState.create(
+        {"w": jnp.zeros((4, 4)), "b": jnp.ones(4)}, stats, tx)
+    state2, start_epoch, best = ckpt.resume_state(str(tmp_path), state2)
+    assert start_epoch == 3 and best["acc"] == 61.0
+    np.testing.assert_allclose(np.asarray(state2.params["w"]), 3.0)
+
+
 def test_transfer_pretrained_reporting():
     from si_mamba_tpu.train.checkpoint import transfer_pretrained
 
