@@ -78,11 +78,30 @@ def save_checkpoint(exp_dir: str, prefix: str, state, epoch: int,
     if async_save:
         # serialization/commit happens on orbax's background thread while
         # the next epoch trains (the device_get above already snapshotted
-        # the host payload); one save in flight at a time — wait for the
-        # previous one first. Opt-in via config `async_ckpt: true`.
+        # the host payload). orbax serializes back-to-back saves itself
+        # (AsyncCheckpointer.save blocks on the previous in-flight save).
+        #
+        # CRASH SAFETY: orbax's force=True rmtree's the committed final dir
+        # in the FOREGROUND while the new commit (tmp→final rename) happens
+        # in the background — a preemption in that window would destroy the
+        # only resume point. Atomically rename the committed dir to
+        # <prefix>.bak instead; load_checkpoint falls back to it if the
+        # final dir is missing. The .bak is replaced on the next save of
+        # the same prefix (disk cost: one extra checkpoint copy).
+        import shutil
+
+        path = _path(exp_dir, prefix)
         c = _async_ckptr()
+        # the wait is REQUIRED here (not just orbax's internal one): an
+        # in-flight commit of this same path must land before the
+        # exists-check/rename below, or the rename parks a half-written
+        # dir / the save collides with the late commit
         c.wait_until_finished()
-        c.save(_path(exp_dir, prefix), payload, force=True)
+        if os.path.exists(path):
+            bak = path + ".bak"
+            shutil.rmtree(bak, ignore_errors=True)
+            os.rename(path, bak)
+        c.save(path, payload)
         return
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(_path(exp_dir, prefix), payload, force=True)
@@ -92,6 +111,10 @@ def load_checkpoint(exp_dir: str, prefix: str) -> dict | None:
     wait_for_saves()  # a just-written async ckpt must be committed first
     path = _path(exp_dir, prefix)
     if not os.path.exists(path):
+        # async-save crash window: the previous committed checkpoint is
+        # parked at <prefix>.bak (see save_checkpoint) — resume from it
+        if os.path.exists(path + ".bak"):
+            return ocp.PyTreeCheckpointer().restore(path + ".bak")
         return None
     return ocp.PyTreeCheckpointer().restore(path)
 

@@ -145,9 +145,22 @@ def main(argv=None):
     maybe_initialize_distributed()
     args = get_args(argv)
     snapshot = os.path.join(args.experiment_path, "config.yaml")
-    if _should_auto_resume(args, snapshot):
-        args.resume = True
-        print(f"[AUTO-RESUME] ckpt-last found in {args.experiment_path}")
+    if getattr(args, "auto_resume", False):
+        import jax
+
+        auto = _should_auto_resume(args, snapshot)
+        if jax.process_count() > 1:
+            # the decision must be GLOBAL: only the primary host persists
+            # checkpoints, so per-process filesystem checks diverge on pods
+            # without a shared FS — a split decision desyncs the collective
+            # train/eval/save steps. Take process 0's verdict everywhere.
+            from jax.experimental import multihost_utils
+
+            auto = bool(multihost_utils.broadcast_one_to_all(
+                np.int32(auto)))
+        if auto:
+            args.resume = True
+            print(f"[AUTO-RESUME] ckpt-last found in {args.experiment_path}")
     if args.resume:
         # resume re-reads the experiment's saved config, not the CLI one
         # (reference utils/config.py:48-54)
@@ -205,7 +218,9 @@ def main(argv=None):
                 lr=float(config.optimizer.kwargs.lr),
                 weight_decay=float(config.optimizer.kwargs.get("weight_decay", 0.0)),
                 warmup_epochs=int(config.scheduler.kwargs.initial_epochs),
-                pretrained_variables=pretrained, logger=logger, seed=args.seed)
+                pretrained_variables=pretrained, logger=logger, seed=args.seed,
+                resume=args.resume,
+                async_ckpt=bool(config.get("async_ckpt", False)))
         return
 
     if model_name == "Point_MAE_Mamba":

@@ -299,10 +299,14 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
                                  metrics.state_dict(), best_metrics.state_dict(),
                                  async_save=async_ckpt)
     finally:
-        ckpt.wait_for_saves()  # commit any in-flight async checkpoint
-        mesh_ctx.__exit__(None, None, None)
-        if writer is not None:
-            writer.close()
+        try:
+            ckpt.wait_for_saves()  # commit any in-flight async checkpoint
+        finally:
+            # a failed background commit re-raises from the wait — the mesh
+            # swap and the scalars stream must still be restored/closed
+            mesh_ctx.__exit__(None, None, None)
+            if writer is not None:
+                writer.close()
     return state, best_metrics
 
 

@@ -130,6 +130,7 @@ def pretrain_run(config, train_loader, svm_loaders, exp_dir: str,
         sched_kwargs=dict(config.scheduler.kwargs))
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
+    async_ckpt = bool(config.get("async_ckpt", False))
     start_epoch, best = 0, {}
     if resume:
         state, start_epoch, best = ckpt.resume_state(exp_dir, state)
@@ -170,12 +171,16 @@ def pretrain_run(config, train_loader, svm_loaders, exp_dir: str,
             if AccMetric(acc).better_than(best_metrics):
                 best_metrics = AccMetric(acc)
                 ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch,
-                                     {"acc": acc}, best_metrics.state_dict())
+                                     {"acc": acc}, best_metrics.state_dict(),
+                                     async_save=async_ckpt)
         ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch, {},
-                             best_metrics.state_dict())
+                             best_metrics.state_dict(),
+                             async_save=async_ckpt)
         # periodic snapshots every 25 epochs after 250 (reference :303-311)
         if epoch >= 250 and epoch % 25 == 0:
-            ckpt.save_checkpoint(exp_dir, f"ckpt-epoch-{epoch:03d}", state, epoch,
-                                 {}, best_metrics.state_dict())
+            ckpt.save_checkpoint(exp_dir, f"ckpt-epoch-{epoch:03d}", state,
+                                 epoch, {}, best_metrics.state_dict(),
+                                 async_save=async_ckpt)
+    ckpt.wait_for_saves()  # commit any in-flight async checkpoint
     writer.close()
     return state, best_metrics

@@ -127,7 +127,7 @@ def evaluate_miou(eval_step, state, loader) -> dict:
 def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
             epochs: int = 300, lr: float = 0.0002, weight_decay: float = 0.05,
             warmup_epochs: int = 10, pretrained_variables=None, logger=None,
-            seed: int = 0):
+            seed: int = 0, resume: bool = False, async_ckpt: bool = False):
     model = PartSegModel(cfg)
     rng_np = np.random.default_rng(seed)
 
@@ -145,6 +145,11 @@ def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
                                 steps_per_epoch=max(len(train_loader), 1),
                                 grad_clip=10.0)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    start_epoch, best0 = 0, {}
+    if resume:
+        state, start_epoch, best0 = ckpt.resume_state(exp_dir, state)
+        print_log(f"[RESUME] restored ckpt-last: start_epoch={start_epoch} "
+                  f"best={best0}", logger)
     # explicit DP shardings (state replicated, batch on 'data'): multi-chip
     # correct like the reference's DDP wrap (VERDICT r1 weak #2)
     mesh = make_mesh()
@@ -159,8 +164,8 @@ def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
     writer = ScalarWriter(f"{exp_dir}/scalars.jsonl")
     rng = jax.random.key(seed)
 
-    best = {"instance_miou": 0.0}
-    for epoch in range(epochs):
+    best = best0 if best0.get("instance_miou") else {"instance_miou": 0.0}
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         meters = AverageMeter(["loss", "acc"])
         for pts, cls_idx, seg in train_loader.epoch(epoch):
@@ -178,7 +183,10 @@ def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
                   f"acc={metrics['accuracy']:.4f}", logger)
         if metrics["instance_miou"] > best["instance_miou"]:
             best = metrics
-            ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch, metrics, best)
-        ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch, metrics, best)
+            ckpt.save_checkpoint(exp_dir, "ckpt-best", state, epoch, metrics,
+                                 best, async_save=async_ckpt)
+        ckpt.save_checkpoint(exp_dir, "ckpt-last", state, epoch, metrics, best,
+                             async_save=async_ckpt)
+    ckpt.wait_for_saves()  # commit any in-flight async checkpoint
     writer.close()
     return state, best

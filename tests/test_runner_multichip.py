@@ -208,6 +208,12 @@ def test_seg_run_multichip(tmp_path):
     assert os.path.exists(tmp_path / "ckpt-last")
     assert 0.0 <= best["instance_miou"] <= 1.0
 
+    # resume continues from the saved epoch (1 step/epoch here): epoch 0
+    # trained above -> resume with epochs=2 runs exactly epoch 1
+    state2, _ = seg_run(cfg, loader, loader, str(tmp_path), epochs=2,
+                        warmup_epochs=0, seed=0, resume=True)
+    assert int(state2.step) == 2 * int(state.step)
+
 
 def test_per_process_batch_split_and_loader_assembly():
     """Multi-host global-batch math (reference main.py:72-86): total_bs is

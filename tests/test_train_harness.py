@@ -145,6 +145,34 @@ def test_checkpoint_async_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(state2.params["w"]), 3.0)
 
 
+def test_checkpoint_async_crash_window_fallback(tmp_path):
+    """Preemption during an async overwrite must not lose the resume point:
+    save_checkpoint parks the previously-committed dir at <prefix>.bak
+    before the background commit, and load_checkpoint falls back to it."""
+    import shutil
+
+    from si_mamba_tpu.train import checkpoint as ckpt
+    from si_mamba_tpu.train.optim import build_optimizer
+    from si_mamba_tpu.train.train_state import TrainState
+
+    params = {"w": jnp.full((4, 4), 5.0)}
+    stats = {}
+    tx, _ = build_optimizer(params)
+    state = TrainState.create(params, stats, tx)
+    ckpt.save_checkpoint(str(tmp_path), "ckpt-last", state, epoch=4,
+                         async_save=True)
+    ckpt.save_checkpoint(str(tmp_path), "ckpt-last", state, epoch=5,
+                         async_save=True)
+    ckpt.wait_for_saves()
+    assert (tmp_path / "ckpt-last").exists()
+    assert (tmp_path / "ckpt-last.bak").exists()  # epoch-4 copy parked
+    # simulate the crash window: the new final dir never committed
+    shutil.rmtree(tmp_path / "ckpt-last")
+    payload = ckpt.load_checkpoint(str(tmp_path), "ckpt-last")
+    assert payload is not None and payload["meta"]["epoch"] == 4
+    np.testing.assert_allclose(np.asarray(payload["params"]["w"]), 5.0)
+
+
 def test_transfer_pretrained_reporting():
     from si_mamba_tpu.train.checkpoint import transfer_pretrained
 
