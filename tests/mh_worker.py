@@ -68,6 +68,11 @@ grad_norm_clip: 10
 if use_tp:
     cfg["tp_size"] = 2
     cfg.model["tp_axis"] = "model"
+    # also exercise ASYNC collective checkpointing across real processes
+    # (orbax's commit barrier runs on its background thread; every process
+    # still calls save — the deadlock-prone pattern is rank-GATING, not
+    # async)
+    cfg["async_ckpt"] = True
 
 ds = _CloudDataset()
 bs = per_process_batch(int(cfg.total_bs))  # 8 global -> 4 per process
