@@ -94,6 +94,39 @@ class AverageMeter:
         return avgs if idx is None else avgs[idx]
 
 
+class DeferredMeters:
+    """One-step-lagged device→host metric readback for train loops.
+
+    ``float(metrics[...])`` right after a jitted step is a blocking device
+    sync: the host idles until the step it JUST dispatched completes, so
+    batch prep / transfer for the next step never overlaps compute (on the
+    tunneled TPU each sync also pays the ~28 ms relay RTT). ``push(m)``
+    instead reads back the PREVIOUS step's metrics — already finished by
+    then — and stores the new device values, keeping exactly one step in
+    flight (bounded, unlike free-running async dispatch). ``flush()`` drains
+    the final pending metrics at epoch end. Averages are order-independent,
+    so epoch statistics are bit-identical to the eager pattern.
+    """
+
+    def __init__(self, meter: AverageMeter, keys: Sequence[str]):
+        self.meter = meter
+        self.keys = tuple(keys)
+        self._pending = None
+
+    def _drain(self):
+        self.meter.update([float(self._pending[k]) for k in self.keys])
+
+    def push(self, metrics) -> None:
+        if self._pending is not None:
+            self._drain()
+        self._pending = metrics
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            self._drain()
+            self._pending = None
+
+
 class AccMetric:
     """Accuracy metric with better_than (reference runner_finetune.py:54-72)."""
 

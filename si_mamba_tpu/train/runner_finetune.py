@@ -29,7 +29,13 @@ from si_mamba_tpu.parallel import (
     shard_batch,
 )
 from si_mamba_tpu.train import checkpoint as ckpt
-from si_mamba_tpu.train.logging_utils import AccMetric, AverageMeter, ScalarWriter, print_log
+from si_mamba_tpu.train.logging_utils import (
+    AccMetric,
+    AverageMeter,
+    DeferredMeters,
+    ScalarWriter,
+    print_log,
+)
 from si_mamba_tpu.train.optim import bn_momentum_schedule, build_optimizer
 from si_mamba_tpu.train.train_state import TrainState
 
@@ -265,10 +271,14 @@ def finetune_run(config, train_loader, val_loader, exp_dir: str,
             # BNMomentumScheduler at epoch END after applying bnm(0) at
             # init (utils/misc.py:103-133), so epoch e trains at bnm(e-1)
             bn_m = jnp.float32(bn_sched(max(epoch - 1, 0)))
+            # lag-1 metric readback: keeps one step in flight so host batch
+            # prep/transfer overlaps device compute (logging_utils.DeferredMeters)
+            lag = DeferredMeters(meters, ("loss", "acc"))
             for pts, labels in train_loader.epoch(epoch):
                 batch = shard_batch((jnp.asarray(pts), jnp.asarray(labels)), mesh)
                 state, m = train_step(state, *batch, rng, bn_m)
-                meters.update([float(m["loss"]), float(m["acc"])])
+                lag.push(m)
+            lag.flush()
             lr_now = float(sched(int(state.step)))
             print_log(f"[Training] EPOCH: {epoch} EpochTime = {time.time()-t0:.3f} (s) "
                       f"Losses = {['%.4f' % v for v in meters.avg()]} lr = {lr_now:.6f}",

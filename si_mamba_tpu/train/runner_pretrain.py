@@ -25,7 +25,13 @@ from si_mamba_tpu.parallel import (
     shard_batch,
 )
 from si_mamba_tpu.train import checkpoint as ckpt
-from si_mamba_tpu.train.logging_utils import AccMetric, AverageMeter, ScalarWriter, print_log
+from si_mamba_tpu.train.logging_utils import (
+    AccMetric,
+    AverageMeter,
+    DeferredMeters,
+    ScalarWriter,
+    print_log,
+)
 from si_mamba_tpu.train.optim import build_optimizer
 from si_mamba_tpu.train.train_state import TrainState
 
@@ -156,10 +162,13 @@ def pretrain_run(config, train_loader, svm_loaders, exp_dir: str,
         t0 = time.time()
         tau = tau_schedule(epoch, total_epochs=max_epoch)
         meters = AverageMeter(["loss"])
+        # lag-1 metric readback: keep one step in flight (DeferredMeters)
+        lag = DeferredMeters(meters, ("loss",))
         for pts, _ in train_loader.epoch(epoch):
             (pts_s,) = shard_batch((jnp.asarray(pts),), mesh)
             state, m = train_step(state, pts_s, rng, tau)
-            meters.update([float(m["loss"])])
+            lag.push(m)
+        lag.flush()
         print_log(f"[Training] EPOCH: {epoch} EpochTime = {time.time()-t0:.3f} (s) "
                   f"Losses = {meters.avg(0):.6f} tau = {tau:.4f}", logger)
         writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)

@@ -26,7 +26,12 @@ from si_mamba_tpu.parallel import (
     shard_batch,
 )
 from si_mamba_tpu.train import checkpoint as ckpt
-from si_mamba_tpu.train.logging_utils import AverageMeter, ScalarWriter, print_log
+from si_mamba_tpu.train.logging_utils import (
+    AverageMeter,
+    DeferredMeters,
+    ScalarWriter,
+    print_log,
+)
 from si_mamba_tpu.train.optim import build_optimizer
 from si_mamba_tpu.train.train_state import TrainState
 
@@ -168,12 +173,15 @@ def seg_run(cfg: PartSegConfig, train_loader, test_loader, exp_dir: str,
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         meters = AverageMeter(["loss", "acc"])
+        # lag-1 metric readback: keep one step in flight (DeferredMeters)
+        lag = DeferredMeters(meters, ("loss", "acc"))
         for pts, cls_idx, seg in train_loader.epoch(epoch):
             pts = shift_point_cloud(random_scale_point_cloud(pts, rng_np), rng_np)
             batch = shard_batch((jnp.asarray(pts), jnp.asarray(cls_idx),
                                  jnp.asarray(seg)), mesh)
             state, m = train_step(state, *batch, rng)
-            meters.update([float(m["loss"]), float(m["acc"])])
+            lag.push(m)
+        lag.flush()
         print_log(f"[Seg] EPOCH {epoch} time={time.time()-t0:.1f}s "
                   f"loss={meters.avg(0):.4f} acc={meters.avg(1):.4f}", logger)
         metrics = evaluate_miou(eval_step, eval_state(state), test_loader)

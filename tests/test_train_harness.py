@@ -356,3 +356,27 @@ def test_vote_step_in_graph_matches_eager_loop():
             {"params": state.params, "batch_stats": state.batch_stats},
             p, train=False), np.float32)
     np.testing.assert_allclose(np.asarray(acc), expect, rtol=2e-5, atol=2e-5)
+
+
+def test_deferred_meters_matches_eager_updates():
+    """DeferredMeters (lag-1 device readback) must produce the exact same
+    epoch averages as the eager float()-per-step pattern, for any number of
+    steps including 0 and 1."""
+    from si_mamba_tpu.train.logging_utils import AverageMeter, DeferredMeters
+
+    rng = np.random.default_rng(0)
+    for n_steps in (0, 1, 2, 7):
+        ms = [{"loss": jnp.float32(rng.random()), "acc": jnp.float32(rng.random())}
+              for _ in range(n_steps)]
+        eager = AverageMeter(["loss", "acc"])
+        for m in ms:
+            eager.update([float(m["loss"]), float(m["acc"])])
+        lagged = AverageMeter(["loss", "acc"])
+        lag = DeferredMeters(lagged, ("loss", "acc"))
+        for m in ms:
+            lag.push(m)
+        lag.flush()
+        assert lagged.avg() == eager.avg(), n_steps
+        # flush is idempotent (second flush must not double-count)
+        lag.flush()
+        assert lagged.avg() == eager.avg(), n_steps
