@@ -183,3 +183,127 @@ class Predictor:
             for b in self._bucket_list:
                 dummy = np.zeros((b, n_pts, 3), np.float32)
                 np.asarray(self._fwd(self.variables, jnp.asarray(dummy)))
+
+
+class MicroBatcher:
+    """Deadline-driven request coalescing in front of a batch predictor.
+
+    Production serving receives SINGLE clouds from many concurrent clients;
+    dispatching each alone wastes the chip (a batch-1 program pays nearly the
+    full step latency of a batch-64 one — see PARITY.md serving numbers).
+    ``submit`` enqueues a request and returns a ``concurrent.futures.Future``;
+    one dispatcher thread coalesces requests into a batch and fires when
+    either ``max_batch`` are waiting or the oldest has waited
+    ``max_delay_ms`` — the standard latency/throughput knob.
+
+    ``fn`` is any ``(b, N, 3) ndarray -> (b, ...)`` batch function (e.g.
+    ``Predictor.predict_proba``). Requests with different N are never mixed
+    into one batch (they can't stack): an N change flushes the current batch
+    and starts the next — keep per-N traffic on separate batchers if N varies
+    wildly. Thread-safe; use as a context manager or call ``stop()``.
+    """
+
+    _STOP = object()
+
+    def __init__(self, fn, *, max_batch: int = 64, max_delay_ms: float = 5.0):
+        import queue as _queue
+        import threading
+
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._fn = fn
+        self._max_batch = int(max_batch)
+        self._delay = float(max_delay_ms) / 1e3
+        self._q: "_queue.Queue" = _queue.Queue()
+        self.n_requests = 0
+        self.n_batches = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._stopped = False
+        self._thread.start()
+
+    def submit(self, cloud: np.ndarray):
+        """Enqueue one (N, 3) cloud; returns a Future of ``fn``'s row for it."""
+        from concurrent.futures import Future
+
+        cloud = np.asarray(cloud, np.float32)
+        if cloud.ndim != 2 or cloud.shape[-1] != 3:
+            raise ValueError(f"expected one (N, 3) cloud, got {cloud.shape}")
+        if self._stopped:
+            raise RuntimeError("MicroBatcher is stopped")
+        fut: Future = Future()
+        self._q.put((cloud, fut))
+        return fut
+
+    def _fire(self, batch) -> None:
+        self.n_batches += 1
+        self.n_requests += len(batch)
+        try:
+            out = self._fn(np.stack([c for c, _ in batch]))
+        except BaseException as e:  # propagate to every waiter in the batch
+            for _, f in batch:
+                if not f.cancelled():
+                    f.set_exception(e)
+            return
+        for i, (_, f) in enumerate(batch):
+            if not f.cancelled():
+                f.set_result(np.asarray(out[i]))
+
+    def _loop(self) -> None:
+        import queue as _queue
+        import time
+
+        carry = None  # an item whose N didn't match the batch being built
+        while True:
+            item = carry if carry is not None else self._q.get()
+            carry = None
+            if item is self._STOP:
+                break
+            batch = [item]
+            n_pts = item[0].shape[0]
+            deadline = time.monotonic() + self._delay
+            while len(batch) < self._max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except _queue.Empty:
+                    break
+                if nxt is self._STOP or nxt[0].shape[0] != n_pts:
+                    carry = nxt  # flush now; handle the stop/new-N item next
+                    break
+                batch.append(nxt)
+            self._fire(batch)
+            if carry is self._STOP:
+                break
+        self._drain()
+
+    def _drain(self) -> None:
+        """Fail anything still queued after stop (no silent hangs)."""
+        import queue as _queue
+
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except _queue.Empty:
+                break
+            if item is not self._STOP and not item[1].cancelled():
+                item[1].set_exception(RuntimeError("MicroBatcher stopped"))
+
+    @property
+    def mean_batch_size(self) -> float:
+        return self.n_requests / max(self.n_batches, 1)
+
+    def stop(self) -> None:
+        """Drain in-flight work, then stop the dispatcher (idempotent)."""
+        if not self._stopped:
+            self._stopped = True
+            self._q.put(self._STOP)
+        self._thread.join()
+        self._drain()  # catch submits that raced the stop flag
+
+    def __enter__(self) -> "MicroBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

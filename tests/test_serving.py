@@ -4,6 +4,7 @@ batch predictor, consistent with the training-time eval forward."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from si_mamba_tpu.models import PointMamba, PointMambaConfig
 from si_mamba_tpu.serving import Predictor, _buckets
@@ -125,3 +126,103 @@ def test_predictor_ssd_mixer():
     direct = np.asarray(model.apply(variables, jnp.asarray(clouds[:2]),
                                     train=False))
     np.testing.assert_allclose(logits[:2], direct, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# MicroBatcher (deadline-driven request coalescing)
+# ---------------------------------------------------------------------------
+
+def test_microbatcher_coalesces_deterministically():
+    """While the dispatcher is blocked inside fn on batch 1, four more
+    same-N requests queue up — they MUST coalesce into a single batch 2."""
+    import threading
+
+    from si_mamba_tpu.serving import MicroBatcher
+
+    entered, release = threading.Event(), threading.Event()
+    sizes = []
+
+    def fn(batch):
+        sizes.append(len(batch))
+        entered.set()
+        release.wait(timeout=30)
+        return batch.sum(axis=(1, 2))
+
+    rng = np.random.default_rng(0)
+    clouds = [rng.standard_normal((16, 3)).astype(np.float32) for _ in range(5)]
+    with MicroBatcher(fn, max_batch=4, max_delay_ms=50) as mb:
+        futs = [mb.submit(clouds[0])]
+        assert entered.wait(timeout=30)  # dispatcher is inside fn w/ batch 1
+        futs += [mb.submit(c) for c in clouds[1:]]
+        release.set()
+        results = [f.result(timeout=30) for f in futs]
+
+    assert sizes == [1, 4]
+    assert mb.n_batches == 2 and mb.n_requests == 5
+    assert mb.mean_batch_size == 2.5
+    for c, r in zip(clouds, results):
+        np.testing.assert_allclose(r, c.sum(), rtol=1e-6)
+
+
+def test_microbatcher_never_mixes_different_n():
+    import threading
+
+    from si_mamba_tpu.serving import MicroBatcher
+
+    entered, release = threading.Event(), threading.Event()
+    shapes = []
+
+    def fn(batch):
+        shapes.append(batch.shape)
+        entered.set()
+        release.wait(timeout=30)
+        return batch.sum(axis=(1, 2))
+
+    rng = np.random.default_rng(1)
+    a = [rng.standard_normal((16, 3)).astype(np.float32) for _ in range(2)]
+    b = [rng.standard_normal((32, 3)).astype(np.float32) for _ in range(2)]
+    with MicroBatcher(fn, max_batch=8, max_delay_ms=50) as mb:
+        f0 = mb.submit(a[0])
+        assert entered.wait(timeout=30)
+        # interleave Ns while the dispatcher is blocked: must split batches
+        futs = [mb.submit(a[1]), mb.submit(b[0]), mb.submit(b[1])]
+        release.set()
+        res = [f.result(timeout=30) for f in [f0] + futs]
+
+    # every fired batch stacked a single N (np.stack would raise otherwise)
+    assert all(s[1] in (16, 32) for s in shapes)
+    for c, r in zip([a[0], a[1], b[0], b[1]], res):
+        np.testing.assert_allclose(r, c.sum(), rtol=1e-6)
+    # at least one flush happened because of the N change
+    assert mb.n_batches >= 2
+
+
+def test_microbatcher_exception_propagates_and_stop_drains():
+    from si_mamba_tpu.serving import MicroBatcher
+
+    def boom(batch):
+        raise ValueError("bad batch")
+
+    mb = MicroBatcher(boom, max_batch=2, max_delay_ms=1)
+    f = mb.submit(np.zeros((8, 3), np.float32))
+    with pytest.raises(ValueError, match="bad batch"):
+        f.result(timeout=30)
+    mb.stop()
+    mb.stop()  # idempotent
+    with pytest.raises(RuntimeError, match="stopped"):
+        mb.submit(np.zeros((8, 3), np.float32))
+    with pytest.raises(ValueError, match=r"\(N, 3\) cloud"):
+        MicroBatcher(boom).submit(np.zeros((4, 2), np.float32))
+
+
+def test_microbatcher_with_real_predictor():
+    from si_mamba_tpu.serving import MicroBatcher
+
+    p, _, _ = _small_predictor(max_batch=4)
+    rng = np.random.default_rng(3)
+    clouds = rng.standard_normal((5, 128, 3)).astype(np.float32)
+    with MicroBatcher(p.predict_proba, max_batch=4, max_delay_ms=20) as mb:
+        futs = [mb.submit(c) for c in clouds]
+        got = np.stack([f.result(timeout=300) for f in futs])
+    want = p.predict_proba(clouds)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
