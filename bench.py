@@ -230,6 +230,36 @@ def main():
         except Exception as e:  # pragma: no cover - depends on backend
             ssd_extra = {"ssd_error": f"{type(e).__name__}"}
 
+    # serving: batched vs single-request dispatch through the Predictor
+    # (the gap is what serving.MicroBatcher recovers by coalescing
+    # concurrent clients into one program dispatch — each single request
+    # otherwise pays the full program + relay-RTT latency). Same cold-cache
+    # gate as the SSD extra: two more full-model compiles (bucket 64 + 2).
+    def measure_serve():
+        from si_mamba_tpu.serving import Predictor
+
+        pred = Predictor(model=model, variables=ev, npoints=N, max_batch=B)
+        one = np.asarray(pts[:1])
+        big = np.asarray(pts)
+        pred.logits(big), pred.logits(one)  # compile both buckets
+        t0 = time.perf_counter()
+        for _ in range(3):
+            pred.logits(big)
+        batch_dt = (time.perf_counter() - t0) / 3
+        t0 = time.perf_counter()
+        for _ in range(8):
+            pred.logits(one)
+        single_dt = (time.perf_counter() - t0) / 8
+        return {"serve_batch_clouds_per_sec": round(B / batch_dt, 1),
+                "serve_single_p50_ms": round(single_dt * 1e3, 1),
+                "serve_batching_speedup": round(single_dt * B / batch_dt, 1)}
+
+    if primary_compile_s <= 120.0:
+        try:
+            ssd_extra.update(measure_serve())
+        except Exception as e:  # pragma: no cover - depends on backend
+            ssd_extra["serve_error"] = f"{type(e).__name__}"
+
     print(json.dumps({
         "metric": "modelnet40_train_clouds_per_sec_per_chip",
         "value": round(clouds_per_sec, 2),
