@@ -190,10 +190,13 @@ def main():
     # over the relay took minutes) it is skipped entirely so the extra
     # full-model compile cannot push the whole bench past a driver timeout.
     # Measured warm: 62.9 ms/step = 508.7 clouds/s (ROADMAP round-3).
-    def measure_ssd():
+    def measure_ssd(scan_impl=None, prefix="ssd"):
         import dataclasses as _dc
 
-        ssd_model = PointMamba(_dc.replace(cfg, mixer="ssd"))
+        overrides = {"mixer": "ssd"}
+        if scan_impl is not None:
+            overrides["scan_impl"] = scan_impl
+        ssd_model = PointMamba(_dc.replace(cfg, **overrides))
         ssd_vars = ssd_model.init(jax.random.key(0), pts[:2], train=False)
         ssd_tx, _ = build_optimizer(ssd_vars["params"], lr=3e-4, epochs=300,
                                     warmup_epochs=10, steps_per_epoch=300)
@@ -218,8 +221,8 @@ def main():
             np.asarray(sl)
             slat2.append((time.perf_counter() - t0) / K_STEPS)
         ssd_dt = float(np.median(slat2))
-        return {"ssd_train_step_ms": round(ssd_dt * 1e3, 2),
-                "ssd_clouds_per_sec": round(B / ssd_dt, 2)}
+        return {f"{prefix}_train_step_ms": round(ssd_dt * 1e3, 2),
+                f"{prefix}_clouds_per_sec": round(B / ssd_dt, 2)}
 
     if primary_compile_s > 120.0:
         ssd_extra = {"ssd_skipped_cold_cache_compile_s":
@@ -229,6 +232,12 @@ def main():
             ssd_extra = measure_ssd()
         except Exception as e:  # pragma: no cover - depends on backend
             ssd_extra = {"ssd_error": f"{type(e).__name__}"}
+        # same step through the fused Pallas SSD kernel
+        # (ops/pallas/ssd_kernel.py — VMEM-resident chunk recurrence)
+        try:
+            ssd_extra.update(measure_ssd("ssd_fused", "ssd_fused"))
+        except Exception as e:  # pragma: no cover - depends on backend
+            ssd_extra["ssd_fused_error"] = f"{type(e).__name__}"
 
     # serving: batched vs single-request dispatch through the Predictor
     # (the gap is what serving.MicroBatcher recovers by coalescing

@@ -154,6 +154,11 @@ class SSDMixer(nn.Module):
     chunk: int = 128
     out_proj_div: float = 1.0
     tp_axis: Optional[str] = None  # tensor-parallel mesh axis (context mesh)
+    # 'ssd_fused' routes the chunked recurrence through the fused Pallas
+    # kernel (ops/pallas/ssd_kernel.py, VMEM-resident chunks); any other
+    # value keeps the XLA einsum path. TP ignores this (the sharded mixer
+    # is einsum-based).
+    scan_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -227,8 +232,10 @@ class SSDMixer(nn.Module):
                                 axis=ax)
         from si_mamba_tpu.ops.ssd import ssd_mixer_apply
 
+        impl = "ssd_fused" if self.scan_impl == "ssd_fused" else "xla"
         return ssd_mixer_apply(params, x, n_heads=n_heads,
-                               d_state=self.d_state, chunk=self.chunk)
+                               d_state=self.d_state, chunk=self.chunk,
+                               impl=impl)
 
 
 class DropPath(nn.Module):
@@ -277,8 +284,8 @@ class Block(nn.Module):
         h = norm_cls(epsilon=self.norm_eps, name="norm", dtype=self.dtype)(residual)
         if self.mixer == "ssd":
             h = SSDMixer(self.d_model, out_proj_div=self.out_proj_div,
-                         tp_axis=self.tp_axis, dtype=self.dtype,
-                         name="mixer")(h)
+                         tp_axis=self.tp_axis, scan_impl=self.scan_impl,
+                         dtype=self.dtype, name="mixer")(h)
         else:
             h = MambaMixer(self.d_model, out_proj_div=self.out_proj_div,
                            scan_impl=self.scan_impl, tp_axis=self.tp_axis,

@@ -1,0 +1,349 @@
+"""Fused Pallas TPU kernel for the chunked scalar-decay SSD mixer core.
+
+The XLA path (``ops/ssd.ssd_chunked``) materializes every stage of the
+chunked recurrence in HBM: xdt, the (b,h,nc,q,q) decay-masked attention
+tensor GM, per-chunk states, y_intra, y_inter. ROOFLINE.md measures that
+step HBM-bound (~18 ms floor of a 62.9 ms step). This kernel keeps one
+(q,·) chunk of everything in VMEM per grid step and threads the (n,p)
+inter-chunk state through scratch, so per layer the SSD core touches HBM
+only for its true inputs/outputs (x, dt, S, B, C in; y + the per-chunk
+entry states out).
+
+Layout (production geometry q = n = p = 128 — every contraction is one
+full (8,128)-tile 128x128 MXU matmul):
+- grid = (b, h, nc); the chunk axis is innermost so TPU's sequential grid
+  iteration threads the state carry through VMEM scratch (reset at chunk 0
+  via @pl.when), exactly like the Mamba-1 scan kernel in
+  selective_scan_kernel.py;
+- x arrives head-major (b,h,nc,q,p); B/C are shared across heads
+  (b,nc,q,n) — their index maps simply ignore the h grid axis;
+- dt and the per-chunk decay cumsum S ride ONE (b,h,nc,2,q) operand and
+  are transposed to (q,2) columns in-register (a single small relayout
+  instead of two 1-D lane->sublane transposes);
+- decay math fp32, matmul operands cast to the activation dtype (bf16 in
+  the perf preset) with fp32 MXU accumulation — bit-for-bit the same
+  dtype discipline as ``ssd_chunked``.
+
+Backward (custom VJP) iterates chunks in REVERSE grid order, recomputes
+the in-chunk decay mask from S, runs the reverse state recurrence
+  dh_in[c] = exp(S_end[c]) * dh_out[c] + (C * exp(S))^T @ dy[c]
+through scratch, and emits dense dx plus per-(b,h,nc) partials for
+dt/S/B/C that a cheap XLA reduction finishes (B/C are head-shared, so
+their per-head partials sum over h outside). All A-dependence flows
+through S = cumsum(dt*A), which the wrapper computes OUTSIDE the
+custom_vjp boundary — autodiff chains dS -> (ddt, dA) for free.
+
+No reference counterpart (the reference is Mamba-1 only); this implements
+the SSD math of ops/ssd.py, which is itself beyond-reference and opt-in.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+def ssd_fused_supported(l: int, chunk: int, d_state: int, head_dim: int) -> bool:
+    """Mosaic lane/tile constraints for the COMPILED kernel (interpret mode
+    handles any shape): full-lane state/head dims and a sublane-aligned
+    chunk that divides L."""
+    return (l % chunk == 0 and chunk % 8 == 0 and chunk >= 8
+            and d_state % 128 == 0 and head_dim % 128 == 0)
+
+
+def _tri(q):
+    rows = lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    return rows >= cols
+
+
+def _decay_mask(S_col, S_row):
+    """M[t,s] = exp(S[t]-S[s]) for s<=t else 0 — masked in LOG space
+    (see ops/ssd.py: post-exp masking turns inf*0 into NaN)."""
+    q = S_row.shape[1]
+    logM = S_col - S_row  # (q,1)-(1,q) -> (q,q)
+    return jnp.exp(jnp.where(_tri(q), logM, -jnp.inf))
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(sd_ref, x_ref, b_ref, c_ref, y_ref, hin_ref, hc, *, mm):
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        hc[...] = jnp.zeros_like(hc)
+
+    sd = sd_ref[0, 0, 0].astype(_F32)          # (2, q): rows [S; dt]
+    sdT = sd.T                                  # (q, 2)
+    S_col, dt_col = sdT[:, 0:1], sdT[:, 1:2]    # (q, 1)
+    S_row = sd[0:1, :]                          # (1, q)
+    q = S_row.shape[1]
+    Send = sd[0:1, q - 1:q]                     # (1, 1)
+
+    x = x_ref[0, 0, 0]                          # (q, p) mm dtype
+    B = b_ref[0, 0]                             # (q, n)
+    C = c_ref[0, 0]
+
+    xdt = (x.astype(_F32) * dt_col).astype(mm)
+    G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
+                        preferred_element_type=_F32)          # (q, q)
+    GM = (G * _decay_mask(S_col, S_row)).astype(mm)
+    y_intra = lax.dot_general(GM, xdt, (((1,), (0,)), ((), ())),
+                              preferred_element_type=_F32)    # (q, p)
+
+    h_in = hc[...]                              # (n, p) f32
+    hin_ref[0, 0, 0] = h_in
+    y_inter = lax.dot_general(C, h_in.astype(mm), (((1,), (0,)), ((), ())),
+                              preferred_element_type=_F32)
+    y = y_intra + y_inter * jnp.exp(S_col)
+    y_ref[0, 0, 0] = y.astype(y_ref.dtype)
+
+    T_end = jnp.exp(Send - S_col)               # (q, 1)
+    xdt_dec = (xdt.astype(_F32) * T_end).astype(mm)
+    states = lax.dot_general(B, xdt_dec, (((0,), (0,)), ((), ())),
+                             preferred_element_type=_F32)     # (n, p)
+    hc[...] = jnp.exp(Send) * h_in + states
+
+
+def _fwd_call(SD, x, Bc, Cc, interpret):
+    b, h, nc, q, p = x.shape
+    n = Bc.shape[-1]
+    mm = x.dtype
+    grid = (b, h, nc)
+    y, h_in = pl.pallas_call(
+        functools.partial(_fwd_kernel, mm=mm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 2, q), lambda i, j, c: (i, j, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q, p), lambda i, j, c: (i, j, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), lambda i, j, c: (i, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), lambda i, j, c: (i, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, q, p), lambda i, j, c: (i, j, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n, p), lambda i, j, c: (i, j, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype),
+            jax.ShapeDtypeStruct((b, h, nc, n, p), _F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, p), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(SD, x, Bc, Cc)
+    return y, h_in
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+                dx_ref, dsdt_ref, db_ref, dc_ref, dhc, *, mm):
+    ci = pl.program_id(2)  # iteration index; index maps give chunk nc-1-ci
+
+    @pl.when(ci == 0)
+    def _():
+        dhc[...] = jnp.zeros_like(dhc)  # dL/dh_out of the LAST chunk
+
+    sd = sd_ref[0, 0, 0].astype(_F32)
+    sdT = sd.T
+    S_col, dt_col = sdT[:, 0:1], sdT[:, 1:2]
+    S_row = sd[0:1, :]
+    q = S_row.shape[1]
+    Send = sd[0:1, q - 1:q]
+    E_col = jnp.exp(S_col)
+    T_end = jnp.exp(Send - S_col)
+
+    x = x_ref[0, 0, 0]
+    B = b_ref[0, 0]
+    C = c_ref[0, 0]
+    h_in = hin_ref[0, 0, 0]                     # (n, p) f32
+    dy = dy_ref[0, 0, 0]                        # (q, p) mm
+    # the reverse state carry stays fp32 through every product it enters —
+    # the XLA oracle's mixed bf16*f32 einsums promote to f32 there, and
+    # bf16-rounding dh measurably degrades the dt grads (cancellation in
+    # the dS sums amplifies the 0.4% rounding to ~30% on a few elements)
+    dh_out = dhc[...]                           # (n, p) f32
+
+    x32 = x.astype(_F32)
+    xdt32 = x32 * dt_col
+    xdt = xdt32.astype(mm)
+    G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
+                        preferred_element_type=_F32)
+    GM = G * _decay_mask(S_col, S_row)          # (q,q) f32, zero off-tril
+
+    # dxdt = GM^T @ dy + (B @ dh_out) * T_end
+    t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
+                         preferred_element_type=_F32)          # (q, p)
+    Bdh = lax.dot_general(B.astype(_F32), dh_out, (((1,), (0,)), ((), ())),
+                          preferred_element_type=_F32)         # (q, p)
+    dxdt = t1 + Bdh * T_end
+    dx_ref[0, 0, 0] = (dxdt * dt_col).astype(dx_ref.dtype)
+    ddt_col = jnp.sum(dxdt * x32, axis=1, keepdims=True)       # (q, 1)
+
+    # dGM = dy @ xdt^T ; dG = dGM * M ; dlogM = dGM * GM
+    dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
+                          preferred_element_type=_F32)         # (q_t, q_s)
+    M = _decay_mask(S_col, S_row)
+    dG = dGM * M
+    dlogM = dGM * GM
+
+    # dC = dG @ B + (dy @ h_in^T) * E ;  dB = dG^T @ C + xdt_dec @ dh_out^T
+    h_mm = h_in.astype(mm)
+    dC = (lax.dot_general(dG.astype(mm), B, (((1,), (0,)), ((), ())),
+                          preferred_element_type=_F32)
+          + lax.dot_general(dy, h_mm, (((1,), (1,)), ((), ())),
+                            preferred_element_type=_F32) * E_col)
+    xdt_dec = xdt.astype(_F32) * T_end  # bf16-rounded xdt (matches fwd) f32
+    dB = (lax.dot_general(dG.astype(mm), C, (((0,), (0,)), ((), ())),
+                          preferred_element_type=_F32)
+          + lax.dot_general(xdt_dec, dh_out, (((1,), (1,)), ((), ())),
+                            preferred_element_type=_F32))
+    db_ref[0, 0, 0] = dB
+    dc_ref[0, 0, 0] = dC
+
+    # dS: mask rows/cols + exp(S) factor + T_end + chunk-decay terms
+    Chin = lax.dot_general(C, h_mm, (((1,), (0,)), ((), ())),
+                           preferred_element_type=_F32)        # (q, p)
+    dE = jnp.sum(dy.astype(_F32) * Chin, axis=1, keepdims=True)
+    dT = jnp.sum(Bdh * xdt32, axis=1, keepdims=True)           # (q, 1)
+    dS_col = (jnp.sum(dlogM, axis=1, keepdims=True)            # t-row sums
+              + dE * E_col - dT * T_end)
+    dS_row_neg = jnp.sum(dlogM, axis=0, keepdims=True)         # s-col sums
+    dSend = (jnp.sum(dT * T_end) +
+             jnp.exp(Send[0, 0]) * jnp.sum(dh_out * h_in))     # scalar
+
+    two = jnp.concatenate([dS_col, ddt_col], axis=1)           # (q, 2)
+    twoT = two.T                                               # (2, q)
+    is_end = (lax.broadcasted_iota(jnp.int32, (1, q), 1) == q - 1)
+    dS_final = twoT[0:1] - dS_row_neg + jnp.where(is_end, dSend, 0.0)
+    dsdt_ref[0, 0, 0] = jnp.concatenate([dS_final, twoT[1:2]], axis=0)
+
+    # carry: dh_in = exp(Send) * dh_out + (C * E)^T @ dy  (fp32 operands —
+    # this is the long-range product chain; see dh_out note above)
+    Ceff = C.astype(_F32) * E_col
+    dhc[...] = jnp.exp(Send) * dh_out + lax.dot_general(
+        Ceff, dy.astype(_F32), (((0,), (0,)), ((), ())),
+        preferred_element_type=_F32)
+
+
+def _bwd_call(SD, x, Bc, Cc, h_in, dy, interpret):
+    b, h, nc, q, p = x.shape
+    n = Bc.shape[-1]
+    mm = x.dtype
+    grid = (b, h, nc)
+
+    def rev(i, j, c):
+        return (i, j, nc - 1 - c, 0, 0)
+
+    def rev_bc(i, j, c):
+        return (i, nc - 1 - c, 0, 0)
+
+    dx, dsdt, dBp, dCp = pl.pallas_call(
+        functools.partial(_bwd_kernel, mm=mm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 2, q), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n, p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2, q), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q, n), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q, n), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype),
+            jax.ShapeDtypeStruct((b, h, nc, 2, q), _F32),
+            jax.ShapeDtypeStruct((b, h, nc, q, n), _F32),
+            jax.ShapeDtypeStruct((b, h, nc, q, n), _F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, p), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(SD, x, Bc, Cc, h_in, dy)
+    return dx, dsdt, dBp, dCp
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper (head-major chunked operands)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _ssd_fused(x, dt, S, Bc, Cc, interpret=False):
+    """x (b,h,nc,q,p) activation dtype; dt/S (b,h,nc,q) f32 (S = per-chunk
+    inclusive cumsum of dt*A); Bc/Cc (b,nc,q,n) activation dtype.
+    Returns y (b,h,nc,q,p) in the activation dtype (no D-skip)."""
+    y, _ = _ssd_fused_fwd(x, dt, S, Bc, Cc, interpret)
+    return y
+
+
+def _ssd_fused_fwd(x, dt, S, Bc, Cc, interpret):
+    SD = jnp.stack([S, dt], axis=-2)  # (b,h,nc,2,q) f32
+    y, h_in = _fwd_call(SD, x, Bc, Cc, interpret)
+    return y, (SD, x, Bc, Cc, h_in)
+
+
+def _ssd_fused_bwd(interpret, res, dy):
+    SD, x, Bc, Cc, h_in = res
+    dx, dsdt, dBp, dCp = _bwd_call(SD, x, Bc, Cc, h_in,
+                                   dy.astype(x.dtype), interpret)
+    dS, ddt = dsdt[..., 0, :], dsdt[..., 1, :]
+    # B/C are shared across heads: sum the per-head partials
+    dB = jnp.sum(dBp, axis=1).astype(Bc.dtype)
+    dC = jnp.sum(dCp, axis=1).astype(Cc.dtype)
+    return dx, ddt, dS, dB, dC
+
+
+_ssd_fused.defvjp(_ssd_fused_fwd, _ssd_fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def ssd_chunked_pallas(x, dt, A, Bm, Cm, D, *, chunk: int = 128,
+                       interpret: bool = False):
+    """Drop-in for ``ops.ssd.ssd_chunked`` (same shapes/semantics, no
+    ``return_carry`` — sequence parallelism keeps the XLA path) backed by
+    the fused VMEM-resident kernel. L must be a chunk multiple (callers
+    pad); compiled mode additionally needs ``ssd_fused_supported``.
+    """
+    in_dtype = x.dtype
+    mm = in_dtype if in_dtype == jnp.bfloat16 else _F32
+    b, l, h, p = x.shape
+    n = Bm.shape[-1]
+    assert l % chunk == 0, (l, chunk)
+    nc, q = l // chunk, chunk
+
+    xh = x.transpose(0, 2, 1, 3).reshape(b, h, nc, q, p).astype(mm)
+    dth = dt.astype(_F32).transpose(0, 2, 1).reshape(b, h, nc, q)
+    Bc = Bm.reshape(b, nc, q, n).astype(mm)
+    Cc = Cm.reshape(b, nc, q, n).astype(mm)
+    # per-chunk inclusive cumsum of dt*A — OUTSIDE the custom_vjp, so
+    # autodiff routes dS into (ddt, dA) without kernel involvement
+    S = jnp.cumsum(dth * A.astype(_F32)[None, :, None, None], axis=-1)
+
+    y = _ssd_fused(xh, dth, S, Bc, Cc, interpret)
+    y = y.reshape(b, h, l, p).transpose(0, 2, 1, 3).astype(in_dtype)
+    return y + D[None, None, :, None].astype(in_dtype) * x

@@ -151,11 +151,18 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64,
 
 
 def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
-                    chunk: int = 64):
+                    chunk: int = 64, impl: str = "xla",
+                    _interpret: bool = False):
     """Full SSD mixer: in_proj → conv/SiLU on (x,B,C) → chunked SSD →
     gated RMSNorm → out_proj. Layout mirrors the Mamba-2 block structure
     (public SSD formulation) re-expressed for XLA; see ``models/layers.
     SSDMixer`` for the flax wrapper and initializers.
+
+    ``impl``: 'xla' (default, the chunked-einsum path above) or
+    'ssd_fused' — the fused Pallas kernel (ops/pallas/ssd_kernel.py) that
+    keeps the chunk recurrence VMEM-resident; falls back to XLA when the
+    geometry misses the Mosaic tile constraints (``ssd_fused_supported``)
+    or off-TPU. ``_interpret`` runs the kernel in interpret mode (tests).
 
     params keys: in_proj_w (d_model, 2*d_inner + 2*d_state + n_heads),
     conv_w (d_inner + 2*d_state, d_conv), conv_b, dt_bias (n_heads,),
@@ -190,7 +197,23 @@ def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
         dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
 
     xh = xm.reshape(b, l + pad, n_heads, head_p)
-    y = ssd_chunked(xh, dt, A, Bm, Cm, params["D"].astype(_F32), chunk=chunk)
+    use_fused = impl == "ssd_fused" and (
+        _interpret or jax.default_backend() == "tpu")
+    if use_fused:
+        from si_mamba_tpu.ops.pallas.ssd_kernel import (
+            ssd_chunked_pallas,
+            ssd_fused_supported,
+        )
+
+        if not (_interpret or ssd_fused_supported(l + pad, chunk, d_state,
+                                                  head_p)):
+            use_fused = False
+    if use_fused:
+        y = ssd_chunked_pallas(xh, dt, A, Bm, Cm, params["D"].astype(_F32),
+                               chunk=chunk, interpret=_interpret)
+    else:
+        y = ssd_chunked(xh, dt, A, Bm, Cm, params["D"].astype(_F32),
+                        chunk=chunk)
     y = y.reshape(b, l + pad, d_inner)[:, :l]
 
     # gated RMSNorm (the Mamba-2 block normalizes y * silu(z) before

@@ -116,3 +116,65 @@ def test_pallas_native_full_config_logits():
     scale = max(1.0, float(np.abs(logits_c).max()))
     np.testing.assert_allclose(logits_p, logits_c, rtol=3e-4,
                                atol=3e-4 * scale)
+
+
+def test_ssd_fused_native_matches_xla_chunked():
+    """Fused SSD kernel (Mosaic-compiled) vs the XLA chunked path at the
+    production full-tile geometry (q = n = p = 128): forward + grads.
+    Interpret-mode math is pinned in test_ssd_pallas.py; this pins the
+    lowering (in-kernel (2,q)->(q,2) relayouts, reversed backward grid,
+    scratch carry) on the real chip."""
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
+    from si_mamba_tpu.ops.ssd import ssd_chunked
+
+    rng = np.random.default_rng(11)
+    b, l, h, p, n = 4, 512, 6, 128, 128
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = mk(b, l, h, p)
+    dt = jax.nn.softplus(mk(b, l, h))
+    A = -jnp.exp(mk(h) * 0.3)
+    Bm, Cm, D = mk(b, l, n), mk(b, l, n), mk(h)
+
+    def loss(fn, *a):
+        return jnp.sum(jnp.sin(fn(*a)))
+
+    f_x = lambda *a: ssd_chunked(*a, chunk=128)
+    f_p = lambda *a: ssd_chunked_pallas(*a, chunk=128)
+    y_x = np.asarray(jax.jit(f_x)(x, dt, A, Bm, Cm, D))
+    y_p = np.asarray(jax.jit(f_p)(x, dt, A, Bm, Cm, D))
+    scale = max(1.0, float(np.abs(y_x).max()))
+    np.testing.assert_allclose(y_p, y_x, rtol=1e-4, atol=1e-4 * scale)
+
+    g_x = jax.jit(jax.grad(lambda *a: loss(f_x, *a),
+                           argnums=(0, 1, 2, 3, 4)))(x, dt, A, Bm, Cm, D)
+    g_p = jax.jit(jax.grad(lambda *a: loss(f_p, *a),
+                           argnums=(0, 1, 2, 3, 4)))(x, dt, A, Bm, Cm, D)
+    for name, gx, gp in zip("x dt A B C".split(), g_x, g_p):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        sc = max(1.0, float(np.abs(gx).max()))
+        np.testing.assert_allclose(gp, gx, rtol=5e-4, atol=5e-4 * sc,
+                                   err_msg=f"native grad mismatch for {name}")
+
+
+def test_ssd_fused_full_model_logits():
+    """mixer='ssd' + scan_impl='ssd_fused' through the full classifier on
+    the chip vs the XLA SSD route — the config-reachable fused path."""
+    import dataclasses
+
+    from si_mamba_tpu.models import PointMamba, PointMambaConfig
+
+    cfg = PointMambaConfig(drop_path=0.0, mixer="ssd")
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.standard_normal((8, 1024, 3)).astype(np.float32))
+    model_f = PointMamba(dataclasses.replace(cfg, scan_impl="ssd_fused"))
+    model_x = PointMamba(dataclasses.replace(cfg, scan_impl="chunked"))
+    variables = model_f.init(jax.random.key(0), pts[:2], train=False)
+
+    logits_f = np.asarray(jax.jit(
+        lambda v, q: model_f.apply(v, q, train=False))(variables, pts))
+    logits_x = np.asarray(jax.jit(
+        lambda v, q: model_x.apply(v, q, train=False))(variables, pts))
+    assert np.isfinite(logits_f).all()
+    scale = max(1.0, float(np.abs(logits_x).max()))
+    np.testing.assert_allclose(logits_f, logits_x, rtol=3e-4,
+                               atol=3e-4 * scale)

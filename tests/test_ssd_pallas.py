@@ -1,0 +1,129 @@
+"""Fused Pallas SSD kernel vs the XLA chunked/sequential oracles.
+
+Interpret mode exercises the exact kernel dataflow (carry threading,
+reversed backward grid, head-shared B/C partial sums) on CPU; the
+TPU-compiled path is pinned by tests/test_pallas_tpu.py (-m tpu).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from si_mamba_tpu.ops.pallas.ssd_kernel import (
+    ssd_chunked_pallas,
+    ssd_fused_supported,
+)
+from si_mamba_tpu.ops.ssd import ssd_chunked, ssd_scan_ref
+
+
+def _make(b=2, l=256, h=3, p=16, n=8, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(seed), 6)
+    x = jax.random.normal(ks[0], (b, l, h, p), dtype)
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (b, l, h))).astype(jnp.float32)
+    A = -jnp.exp(jax.random.normal(ks[2], (h,)))
+    Bm = jax.random.normal(ks[3], (b, l, n), dtype)
+    Cm = jax.random.normal(ks[4], (b, l, n), dtype)
+    D = jax.random.normal(ks[5], (h,))
+    return x, dt, A, Bm, Cm, D
+
+
+@pytest.mark.parametrize("chunk,l", [(64, 256), (128, 128), (32, 96)])
+def test_fwd_matches_chunked(chunk, l):
+    args = _make(l=l)
+    y_ref = ssd_chunked(*args, chunk=chunk)
+    y = ssd_chunked_pallas(*args, chunk=chunk, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fwd_matches_sequential_oracle():
+    args = _make(b=1, l=64, h=2, p=8, n=4)
+    y_ref = ssd_scan_ref(*args)
+    y = ssd_chunked_pallas(*args, chunk=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_single_chunk_no_carry():
+    args = _make(b=1, l=32, h=2, p=8, n=4)
+    y_ref = ssd_chunked(*args, chunk=32)
+    y = ssd_chunked_pallas(*args, chunk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_xla_chunked():
+    args = _make(b=2, l=128, h=2, p=16, n=8)
+
+    def loss(fn, x, dt, A, Bm, Cm, D):
+        y = fn(x, dt, A, Bm, Cm, D)
+        return jnp.sum(jnp.sin(y) * jnp.cos(0.3 * y))
+
+    f_ref = lambda *a: ssd_chunked(*a, chunk=32)
+    f_pl = lambda *a: ssd_chunked_pallas(*a, chunk=32, interpret=True)
+    g_ref = jax.grad(lambda *a: loss(f_ref, *a), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_pl = jax.grad(lambda *a: loss(f_pl, *a), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for name, gr, gp in zip("x dt A B C D".split(), g_ref, g_pl):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=5e-4, atol=5e-5,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_grads_bf16():
+    """bf16 grads: the two impls take different (equally valid) rounding
+    paths, so pin each against the FP32 truth and require the kernel to be
+    no farther from it than the XLA path (measured: kernel rms error is
+    ~40% SMALLER — it keeps the reverse state carry fp32)."""
+    a16 = _make(b=1, l=64, h=2, p=16, n=8, dtype=jnp.bfloat16)
+    a32 = tuple(t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t
+                for t in a16)
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+    f_ref = lambda *a: ssd_chunked(*a, chunk=32)
+    f_pl = lambda *a: ssd_chunked_pallas(*a, chunk=32, interpret=True)
+    g32 = jax.grad(lambda *a: loss(f_ref, *a), argnums=(0, 1, 2))(*a32)
+    gx = jax.grad(lambda *a: loss(f_ref, *a), argnums=(0, 1, 2))(*a16)
+    gp = jax.grad(lambda *a: loss(f_pl, *a), argnums=(0, 1, 2))(*a16)
+    for name, gt, gxi, gpi in zip("x dt A".split(), g32, gx, gp):
+        gt, gxi, gpi = (np.asarray(t, np.float64) for t in (gt, gxi, gpi))
+        rms = lambda e: float(np.sqrt(np.mean(e ** 2)))
+        err_p, err_x = rms(gpi - gt), rms(gxi - gt)
+        assert err_p <= 1.5 * err_x + 1e-6, (
+            f"{name}: pallas bf16 grad rms err {err_p} vs xla {err_x}")
+
+
+def test_mixer_apply_pallas_route():
+    """ssd_mixer_apply(impl='ssd_fused') matches the XLA route exactly
+    (interpret kernel) including the L-padding path (l=100 -> pad 28)."""
+    from si_mamba_tpu.ops.ssd import ssd_mixer_apply
+
+    d_model, l, b = 32, 100, 2
+    n_heads, d_state = 2, 8
+    d_inner = 2 * d_model
+    ks = jax.random.split(jax.random.key(1), 8)
+    params = {
+        "in_proj_w": jax.random.normal(ks[0], (d_model, 2 * d_inner + 2 * d_state + n_heads)) * 0.1,
+        "conv_w": jax.random.normal(ks[1], (d_inner + 2 * d_state, 4)) * 0.2,
+        "conv_b": jax.random.normal(ks[2], (d_inner + 2 * d_state,)) * 0.1,
+        "dt_bias": jax.random.normal(ks[3], (n_heads,)),
+        "A_log": jax.random.normal(ks[4], (n_heads,)),
+        "D": jax.random.normal(ks[5], (n_heads,)),
+        "norm_scale": jnp.ones((d_inner,)),
+        "out_proj_w": jax.random.normal(ks[6], (d_inner, d_model)) * 0.1,
+    }
+    u = jax.random.normal(ks[7], (b, l, d_model))
+    y_x = ssd_mixer_apply(params, u, n_heads=n_heads, d_state=d_state, chunk=32)
+    y_p = ssd_mixer_apply(params, u, n_heads=n_heads, d_state=d_state, chunk=32,
+                          impl="ssd_fused", _interpret=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_supported_gate():
+    assert ssd_fused_supported(512, 128, 128, 128)
+    assert not ssd_fused_supported(500, 128, 128, 128)  # L not chunk-multiple
+    assert not ssd_fused_supported(512, 128, 64, 128)   # sub-lane state
+    assert not ssd_fused_supported(512, 128, 128, 96)   # sub-lane head
