@@ -7,12 +7,13 @@ glue) to ``benchmarks/profile_train_step.json``. With ``--pretrain``,
 profiles the MAE pretrain step instead (B=128, cfgs/pretrain.yaml shape,
 bf16 + jacobi wavelet solver) into ``profile_pretrain_step.json``. With
 ``--ssd``, profiles the opt-in SSD-mixer train step (same bench shape)
-into ``profile_ssd_step.json``.
+into ``profile_ssd_step.json``; ``--ssd-fused`` routes it through the
+fused Pallas SSD kernel (profile_ssd_fused_step.json).
 
 Run (axon tunnel):
   PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
     JAX_PLATFORMS=tpu timeout 1800 python scripts/profile_train_step.py \
-    [--pretrain | --ssd]
+    [--pretrain | --ssd | --ssd-fused]
 """
 
 from __future__ import annotations
@@ -30,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 K_STEPS = 10
 
 
-def capture(tracedir: str, mixer: str = "mamba") -> None:
+def capture(tracedir: str, mixer: str = "mamba",
+            scan_impl: str | None = None) -> None:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -40,8 +42,9 @@ def capture(tracedir: str, mixer: str = "mamba") -> None:
     from si_mamba_tpu.train.train_state import TrainState, make_classifier_train_step
 
     B, N = 32, 1024
+    kw = {"scan_impl": scan_impl} if scan_impl else {}
     cfg = PointMambaConfig(dtype="bfloat16", spectral_method="subspace",
-                           mixer=mixer)
+                           mixer=mixer, **kw)
     model = PointMamba(cfg)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
@@ -196,6 +199,7 @@ def categorize(name: str) -> str:
 def main():
     pretrain = "--pretrain" in sys.argv[1:]
     ssd = "--ssd" in sys.argv[1:]
+    ssd_fused = "--ssd-fused" in sys.argv[1:]  # fused Pallas SSD kernel
     tracedir = "/tmp/si_mamba_trace"
     # Each start_trace writes a new plugins/profile/<ts>/*.xplane.pb; stale
     # files from earlier runs would be summed by the glob (leaf totals came
@@ -206,7 +210,9 @@ def main():
     if pretrain:
         wall_ms = capture_pretrain(tracedir)
     else:
-        wall_ms = capture(tracedir, mixer="ssd" if ssd else "mamba")
+        wall_ms = capture(
+            tracedir, mixer="ssd" if (ssd or ssd_fused) else "mamba",
+            scan_impl="ssd_fused" if ssd_fused else None)
     ops, total_ps, wrappers_ps = parse(tracedir)
     rows = sorted(ops.items(), key=lambda kv: -kv[1])
     per_step = lambda ps: ps / 1e9 / K_STEPS  # ps -> ms, amortized
@@ -231,6 +237,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks",
         "profile_pretrain_step.json" if pretrain
+        else "profile_ssd_fused_step.json" if ssd_fused
         else "profile_ssd_step.json" if ssd else "profile_train_step.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)

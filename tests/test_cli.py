@@ -127,3 +127,29 @@ def test_auto_resume_decision(tmp_path, monkeypatch):
     args.test = False
     args.auto_resume = False
     assert not _should_auto_resume(args, snap)
+
+
+def test_ssd_fused_preset_configs_resolve():
+    """The three ssd_fused presets resolve through their 3-level _base_
+    chains with mixer='ssd' + scan_impl='ssd_fused' landing on each model
+    family's config (the fused Pallas SSD kernel route)."""
+    from si_mamba_tpu.models import PointMambaConfig
+    from si_mamba_tpu.models.point_mae import PointMAEConfig
+    from si_mamba_tpu.train.config import get_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_config(os.path.join(repo, "cfgs",
+                                  "finetune_modelnet_ssd_fused.yaml"))
+    mc = PointMambaConfig.from_dict(cfg.model)
+    assert mc.mixer == "ssd" and mc.scan_impl == "ssd_fused"
+    assert mc.trans_dim == 384 and mc.depth == 12
+
+    cfg = get_config(os.path.join(repo, "cfgs", "pretrain_ssd_fused.yaml"))
+    t = dict(cfg.model.transformer_config)
+    pc = PointMAEConfig(**{k: v for k, v in t.items()
+                           if k in PointMAEConfig.__dataclass_fields__})
+    assert pc.mixer == "ssd" and pc.scan_impl == "ssd_fused"
+
+    cfg = get_config(os.path.join(repo, "cfgs",
+                                  "part_segmentation_ssd_fused.yaml"))
+    assert cfg.model.mixer == "ssd" and cfg.model.scan_impl == "ssd_fused"
