@@ -19,7 +19,7 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -28,6 +28,14 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # parallel batch-assembly threads (torch DataLoader num_workers
+        # analogue). Threads, not processes: dataset __getitem__ is
+        # file-IO + numpy (both release the GIL), and threads avoid the
+        # fork-after-jax hazard. Batches are assigned round-robin and
+        # yielded strictly in order, so the batch stream is byte-identical
+        # to num_workers=1. Dataset __getitem__ must be thread-safe
+        # (all bundled datasets are: in-memory arrays or per-call np.load).
+        self.num_workers = max(1, int(num_workers))
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -61,23 +69,21 @@ class Loader:
                 yield make(bi)
             return
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        W = min(self.num_workers, max(nb, 1))
+        qs = [queue.Queue(maxsize=self.prefetch) for _ in range(W)]
 
-        def worker():
+        def worker(w):
             try:
-                for bi in range(nb):
-                    q.put(make(bi))
-                q.put(stop)
+                for bi in range(w, nb, W):
+                    qs[w].put(make(bi))
             except BaseException as e:  # propagate loader errors to the consumer
-                q.put(e)
+                qs[w].put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
+        for w in range(W):
+            threading.Thread(target=worker, args=(w,), daemon=True).start()
+        # strict-order consumption: batch bi always comes from worker bi % W
+        for bi in range(nb):
+            item = qs[bi % W].get()
             if isinstance(item, BaseException):
                 raise item
             yield item

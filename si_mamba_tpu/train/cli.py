@@ -92,7 +92,8 @@ def build_loader(dcfg, args, subset: str, batch_size: int, shuffle: bool,
     return Loader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
                   seed=args.seed, process_index=jax.process_index(),
                   process_count=jax.process_count(),
-                  prefetch=max(int(args.num_workers), 0))
+                  prefetch=max(int(args.num_workers), 0),
+                  num_workers=max(int(args.num_workers), 1))
 
 
 def _archive_source(exp_dir: str) -> None:

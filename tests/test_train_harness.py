@@ -380,3 +380,57 @@ def test_deferred_meters_matches_eager_updates():
         # flush is idempotent (second flush must not double-count)
         lag.flush()
         assert lagged.avg() == eager.avg(), n_steps
+
+
+def test_loader_multiworker_order_and_content():
+    """num_workers>1 yields a byte-identical ordered batch stream (batches
+    are assigned round-robin but consumed strictly in order)."""
+    ds = _ToyDataset(n=37)
+    ref = list(Loader(ds, batch_size=4, shuffle=True, seed=3,
+                      num_workers=1).epoch(2))
+    par = list(Loader(ds, batch_size=4, shuffle=True, seed=3,
+                      num_workers=4).epoch(2))
+    assert len(par) == len(ref)
+    for (p_pts, p_lab), (r_pts, r_lab) in zip(par, ref):
+        np.testing.assert_array_equal(p_pts, r_pts)
+        np.testing.assert_array_equal(p_lab, r_lab)
+
+
+def test_loader_multiworker_overlaps_work():
+    """4 assembly threads hide a slow (GIL-releasing) __getitem__."""
+    import time
+
+    class Slow:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            time.sleep(0.02)  # stands in for file IO / numpy (GIL released)
+            return np.full((8, 3), i, np.float32), i
+
+    def run(workers):
+        t0 = time.perf_counter()
+        out = list(Loader(Slow(), batch_size=2, prefetch=4,
+                          num_workers=workers).epoch(0))
+        return time.perf_counter() - t0, out
+
+    t1, out1 = run(1)
+    t4, out4 = run(4)
+    for (a, _), (b, _) in zip(out1, out4):
+        np.testing.assert_array_equal(a, b)
+    assert t4 < 0.7 * t1, (t1, t4)
+
+
+def test_loader_multiworker_error_propagates():
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return np.zeros((8, 3), np.float32), 0
+
+    ld = Loader(Bad(), batch_size=2, prefetch=2, num_workers=3)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        list(ld.epoch(0))
