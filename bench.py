@@ -238,8 +238,16 @@ def main():
         # still cold-compiles this one program (minutes over the relay), so
         # skip when the bench has already burned its budget getting here —
         # a driver-side run can then never time out on the newest kernel.
+        from si_mamba_tpu.ops.ssd import ssd_fused_engaged
+
         elapsed_s = time.perf_counter() - t_compile0
-        if elapsed_s > 900.0:
+        seq_tokens = cfg.k_top_eigenvectors * cfg.num_group * 2
+        if not ssd_fused_engaged(seq_tokens):
+            # off-TPU / off-tile: the mixer would fall back to XLA and the
+            # "fused" number would be an A/A of the line above — say so
+            # instead of reporting it
+            ssd_extra["ssd_fused_skipped_not_engaged"] = True
+        elif elapsed_s > 900.0:
             ssd_extra["ssd_fused_skipped_elapsed_s"] = round(elapsed_s, 1)
         else:
             try:

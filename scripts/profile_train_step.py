@@ -45,6 +45,15 @@ def capture(tracedir: str, mixer: str = "mamba",
     kw = {"scan_impl": scan_impl} if scan_impl else {}
     cfg = PointMambaConfig(dtype="bfloat16", spectral_method="subspace",
                            mixer=mixer, **kw)
+    if scan_impl == "ssd_fused":
+        from si_mamba_tpu.ops.ssd import ssd_fused_engaged
+
+        seq_tokens = cfg.k_top_eigenvectors * cfg.num_group * 2
+        if not ssd_fused_engaged(seq_tokens):
+            raise RuntimeError(
+                "--ssd-fused would profile the XLA fallback (not on a TPU "
+                "backend or geometry misses the Mosaic tiles) — refusing "
+                "to write an A/A trace as profile_ssd_fused_step.json")
     model = PointMamba(cfg)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))

@@ -70,23 +70,46 @@ class Loader:
             return
 
         W = min(self.num_workers, max(nb, 1))
-        qs = [queue.Queue(maxsize=self.prefetch) for _ in range(W)]
+        # ``prefetch`` is a SHARED budget (total buffered batches stays
+        # ~prefetch + W regardless of W, not W*prefetch)
+        per_q = max(1, -(-self.prefetch // W))
+        qs = [queue.Queue(maxsize=per_q) for _ in range(W)]
+        stop = threading.Event()
 
         def worker(w):
             try:
                 for bi in range(w, nb, W):
-                    qs[w].put(make(bi))
+                    item = make(bi)
+                    # bounded put that a closed/abandoned generator can
+                    # release — otherwise W threads (and their buffered
+                    # batches) stay pinned per abandoned epoch
+                    while not stop.is_set():
+                        try:
+                            qs[w].put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate loader errors to the consumer
-                qs[w].put(e)
+                while not stop.is_set():
+                    try:
+                        qs[w].put(e, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         for w in range(W):
             threading.Thread(target=worker, args=(w,), daemon=True).start()
-        # strict-order consumption: batch bi always comes from worker bi % W
-        for bi in range(nb):
-            item = qs[bi % W].get()
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            # strict-order consumption: batch bi always comes from worker bi % W
+            for bi in range(nb):
+                item = qs[bi % W].get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def __iter__(self):
         return self.epoch(0)

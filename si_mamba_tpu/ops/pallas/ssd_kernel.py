@@ -76,7 +76,8 @@ def _decay_mask(S_col, S_row):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(sd_ref, x_ref, b_ref, c_ref, y_ref, hin_ref, hc, *, mm):
+def _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm):
+    """Shared forward body: returns (y, h_in) and advances the carry."""
     c = pl.program_id(2)
 
     @pl.when(c == 0)
@@ -102,53 +103,63 @@ def _fwd_kernel(sd_ref, x_ref, b_ref, c_ref, y_ref, hin_ref, hc, *, mm):
                               preferred_element_type=_F32)    # (q, p)
 
     h_in = hc[...]                              # (n, p) f32
-    hin_ref[0, 0, 0] = h_in
     y_inter = lax.dot_general(C, h_in.astype(mm), (((1,), (0,)), ((), ())),
                               preferred_element_type=_F32)
     y = y_intra + y_inter * jnp.exp(S_col)
-    y_ref[0, 0, 0] = y.astype(y_ref.dtype)
 
     T_end = jnp.exp(Send - S_col)               # (q, 1)
     xdt_dec = (xdt.astype(_F32) * T_end).astype(mm)
     states = lax.dot_general(B, xdt_dec, (((0,), (0,)), ((), ())),
                              preferred_element_type=_F32)     # (n, p)
     hc[...] = jnp.exp(Send) * h_in + states
+    return y, h_in
 
 
-def _fwd_call(SD, x, Bc, Cc, interpret):
+def _fwd_kernel(sd_ref, x_ref, b_ref, c_ref, y_ref, hin_ref, hc, *, mm):
+    y, h_in = _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm)
+    y_ref[0, 0, 0] = y.astype(y_ref.dtype)
+    hin_ref[0, 0, 0] = h_in
+
+
+def _fwd_kernel_yonly(sd_ref, x_ref, b_ref, c_ref, y_ref, hc, *, mm):
+    y, _ = _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm)
+    y_ref[0, 0, 0] = y.astype(y_ref.dtype)
+
+
+def _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True):
+    """``emit_states=False`` (inference / undifferentiated primal) skips the
+    (b,h,nc,n,p) fp32 per-chunk-state output — XLA cannot DCE a custom-call
+    output, and at production geometry it is ~50 MB of pure HBM write per
+    layer that only the backward reads."""
     b, h, nc, q, p = x.shape
     n = Bc.shape[-1]
     mm = x.dtype
     grid = (b, h, nc)
-    y, h_in = pl.pallas_call(
-        functools.partial(_fwd_kernel, mm=mm),
+    blk5 = lambda i, j, c: (i, j, c, 0, 0)
+    blk_bc = lambda i, j, c: (i, c, 0, 0)
+    y_spec = pl.BlockSpec((1, 1, 1, q, p), blk5, memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype)
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel if emit_states else _fwd_kernel_yonly, mm=mm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 2, q), lambda i, j, c: (i, j, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, q, p), lambda i, j, c: (i, j, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q, n), lambda i, j, c: (i, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q, n), lambda i, j, c: (i, c, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2, q), blk5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q, p), blk5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), blk_bc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), blk_bc, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 1, q, p), lambda i, j, c: (i, j, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n, p), lambda i, j, c: (i, j, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype),
-            jax.ShapeDtypeStruct((b, h, nc, n, p), _F32),
-        ],
+        out_specs=([y_spec, pl.BlockSpec((1, 1, 1, n, p), blk5,
+                                         memory_space=pltpu.VMEM)]
+                   if emit_states else [y_spec]),
+        out_shape=([y_shape, jax.ShapeDtypeStruct((b, h, nc, n, p), _F32)]
+                   if emit_states else [y_shape]),
         scratch_shapes=[pltpu.VMEM((n, p), _F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(SD, x, Bc, Cc)
-    return y, h_in
+    return (out[0], out[1]) if emit_states else (out[0], None)
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +199,8 @@ def _bwd_kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
     xdt = xdt32.astype(mm)
     G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
                         preferred_element_type=_F32)
-    GM = G * _decay_mask(S_col, S_row)          # (q,q) f32, zero off-tril
+    M = _decay_mask(S_col, S_row)
+    GM = G * M                                  # (q,q) f32, zero off-tril
 
     # dxdt = GM^T @ dy + (B @ dh_out) * T_end
     t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
@@ -202,7 +214,6 @@ def _bwd_kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
     # dGM = dy @ xdt^T ; dG = dGM * M ; dlogM = dGM * GM
     dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
                           preferred_element_type=_F32)         # (q_t, q_s)
-    M = _decay_mask(S_col, S_row)
     dG = dGM * M
     dlogM = dGM * GM
 
@@ -297,7 +308,8 @@ def _ssd_fused(x, dt, S, Bc, Cc, interpret=False):
     """x (b,h,nc,q,p) activation dtype; dt/S (b,h,nc,q) f32 (S = per-chunk
     inclusive cumsum of dt*A); Bc/Cc (b,nc,q,n) activation dtype.
     Returns y (b,h,nc,q,p) in the activation dtype (no D-skip)."""
-    y, _ = _ssd_fused_fwd(x, dt, S, Bc, Cc, interpret)
+    SD = jnp.stack([S, dt], axis=-2)
+    y, _ = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=False)
     return y
 
 

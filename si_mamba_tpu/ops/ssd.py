@@ -150,6 +150,20 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64,
     return y
 
 
+def ssd_fused_engaged(l: int, *, chunk: int = 128, d_state: int = 128,
+                      head_dim: int = 128) -> bool:
+    """True iff ``impl='ssd_fused'`` would actually route to the Pallas
+    kernel for this geometry on the CURRENT backend (same predicate as the
+    fallback inside ``ssd_mixer_apply``). Bench/profiler guard: without it
+    an off-TPU or off-tile run silently measures the XLA fallback and
+    reports it as a fused-kernel number (an A/A comparison)."""
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_fused_supported
+
+    pad = (-l) % chunk
+    return (jax.default_backend() == "tpu"
+            and ssd_fused_supported(l + pad, chunk, d_state, head_dim))
+
+
 def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
                     chunk: int = 64, impl: str = "xla",
                     _interpret: bool = False):

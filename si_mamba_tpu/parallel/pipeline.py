@@ -106,8 +106,12 @@ def _stage_apply(stage_params, h, res, *, d_state, dt_rank, scan_impl,
             # full-tile default (q=64 would half-fill the MXU tile)
             d_inner = lp["out_proj_w"].shape[0]
             n = (lp["conv_w"].shape[0] - d_inner) // 2
-            h = ssd_mixer_apply(lp, hn, n_heads=lp["A_log"].shape[0],
-                                d_state=n, chunk=ssd_chunk)
+            h = ssd_mixer_apply(
+                lp, hn, n_heads=lp["A_log"].shape[0], d_state=n,
+                chunk=ssd_chunk,
+                # thread the kernel choice like the mamba branch below —
+                # otherwise a scan_impl: ssd_fused config silently runs XLA
+                impl="ssd_fused" if scan_impl == "ssd_fused" else "xla")
         else:
             h = mamba_mixer_apply(lp, hn, d_state=d_state, dt_rank=dt_rank,
                                   impl=scan_impl)
