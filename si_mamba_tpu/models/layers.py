@@ -227,9 +227,10 @@ class SSDMixer(nn.Module):
                 "norm_scale": wsc(params["norm_scale"], P(ax)),
                 "out_proj_w": wsc(params["out_proj_w"], P(ax, None)),
             }
-            return ssd_mixer_tp(tp_params, x, n_heads=n_heads,
-                                d_state=self.d_state, chunk=self.chunk,
-                                axis=ax)
+            return ssd_mixer_tp(
+                tp_params, x, n_heads=n_heads, d_state=self.d_state,
+                chunk=self.chunk, axis=ax,
+                impl="ssd_fused" if self.scan_impl == "ssd_fused" else "xla")
         from si_mamba_tpu.ops.ssd import ssd_mixer_apply
 
         impl = "ssd_fused" if self.scan_impl == "ssd_fused" else "xla"

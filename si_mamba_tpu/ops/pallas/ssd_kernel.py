@@ -115,33 +115,49 @@ def _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm):
     return y, h_in
 
 
-def _fwd_kernel(sd_ref, x_ref, b_ref, c_ref, y_ref, hin_ref, hc, *, mm):
-    y, h_in = _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm)
-    y_ref[0, 0, 0] = y.astype(y_ref.dtype)
-    hin_ref[0, 0, 0] = h_in
+def _make_fwd_kernel(emit_states, emit_hfin, mm):
+    def kernel(sd_ref, x_ref, b_ref, c_ref, *outs_scratch):
+        refs = list(outs_scratch)
+        hc = refs.pop()  # VMEM scratch is last
+        y, h_in = _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm)
+        i = 0
+        refs[i][0, 0, 0] = y.astype(refs[i].dtype)
+        if emit_states:
+            i += 1
+            refs[i][0, 0, 0] = h_in
+        if emit_hfin:
+            i += 1
+            # same (b,h) block every chunk, c innermost: the LAST write
+            # (the slice's final state) is what lands in HBM
+            refs[i][0, 0] = hc[...]
+    return kernel
 
 
-def _fwd_kernel_yonly(sd_ref, x_ref, b_ref, c_ref, y_ref, hc, *, mm):
-    y, _ = _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm)
-    y_ref[0, 0, 0] = y.astype(y_ref.dtype)
-
-
-def _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True):
+def _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True, emit_hfin=False):
     """``emit_states=False`` (inference / undifferentiated primal) skips the
     (b,h,nc,n,p) fp32 per-chunk-state output — XLA cannot DCE a custom-call
     output, and at production geometry it is ~50 MB of pure HBM write per
-    layer that only the backward reads."""
+    layer that only the backward reads. ``emit_hfin`` adds the slice-final
+    (b,h,n,p) state (sequence parallelism's carry)."""
     b, h, nc, q, p = x.shape
     n = Bc.shape[-1]
     mm = x.dtype
     grid = (b, h, nc)
     blk5 = lambda i, j, c: (i, j, c, 0, 0)
     blk_bc = lambda i, j, c: (i, c, 0, 0)
-    y_spec = pl.BlockSpec((1, 1, 1, q, p), blk5, memory_space=pltpu.VMEM)
-    y_shape = jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype)
+    blk_bh = lambda i, j, c: (i, j, 0, 0)
+    out_specs = [pl.BlockSpec((1, 1, 1, q, p), blk5, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype)]
+    if emit_states:
+        out_specs.append(pl.BlockSpec((1, 1, 1, n, p), blk5,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, nc, n, p), _F32))
+    if emit_hfin:
+        out_specs.append(pl.BlockSpec((1, 1, n, p), blk_bh,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, n, p), _F32))
     out = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel if emit_states else _fwd_kernel_yonly, mm=mm),
+        _make_fwd_kernel(emit_states, emit_hfin, mm),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1, 2, q), blk5, memory_space=pltpu.VMEM),
@@ -149,31 +165,51 @@ def _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True):
             pl.BlockSpec((1, 1, q, n), blk_bc, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, q, n), blk_bc, memory_space=pltpu.VMEM),
         ],
-        out_specs=([y_spec, pl.BlockSpec((1, 1, 1, n, p), blk5,
-                                         memory_space=pltpu.VMEM)]
-                   if emit_states else [y_spec]),
-        out_shape=([y_shape, jax.ShapeDtypeStruct((b, h, nc, n, p), _F32)]
-                   if emit_states else [y_shape]),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n, p), _F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(SD, x, Bc, Cc)
-    return (out[0], out[1]) if emit_states else (out[0], None)
+    out = list(out) if isinstance(out, (list, tuple)) else [out]
+    y = out.pop(0)
+    h_in = out.pop(0) if emit_states else None
+    h_fin = out.pop(0) if emit_hfin else None
+    return y, h_in, h_fin
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
-                dx_ref, dsdt_ref, db_ref, dc_ref, dhc, *, mm):
-    ci = pl.program_id(2)  # iteration index; index maps give chunk nc-1-ci
+def _make_bwd_kernel(seed, mm):
+    """``seed=True`` takes an extra (b,h,n,p) input — the cotangent of the
+    slice-final state (return_carry path) — to seed the reverse carry;
+    ``seed=False`` starts it at zero without paying that input's HBM reads."""
+    if seed:
+        def kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref, dhf_ref,
+                   dx_ref, dsdt_ref, db_ref, dc_ref, dhc):
+            @pl.when(pl.program_id(2) == 0)
+            def _():
+                dhc[...] = dhf_ref[0, 0]  # dL/dh_out of the LAST chunk
 
-    @pl.when(ci == 0)
-    def _():
-        dhc[...] = jnp.zeros_like(dhc)  # dL/dh_out of the LAST chunk
+            _bwd_body(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+                      dx_ref, dsdt_ref, db_ref, dc_ref, dhc, mm)
+    else:
+        def kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+                   dx_ref, dsdt_ref, db_ref, dc_ref, dhc):
+            @pl.when(pl.program_id(2) == 0)
+            def _():
+                dhc[...] = jnp.zeros_like(dhc)
 
+            _bwd_body(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+                      dx_ref, dsdt_ref, db_ref, dc_ref, dhc, mm)
+    return kernel
+
+
+def _bwd_body(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+              dx_ref, dsdt_ref, db_ref, dc_ref, dhc, mm):
     sd = sd_ref[0, 0, 0].astype(_F32)
     sdT = sd.T
     S_col, dt_col = sdT[:, 0:1], sdT[:, 1:2]
@@ -256,7 +292,7 @@ def _bwd_kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
         preferred_element_type=_F32)
 
 
-def _bwd_call(SD, x, Bc, Cc, h_in, dy, interpret):
+def _bwd_call(SD, x, Bc, Cc, h_in, dy, interpret, dh_fin=None):
     b, h, nc, q, p = x.shape
     n = Bc.shape[-1]
     mm = x.dtype
@@ -268,17 +304,23 @@ def _bwd_call(SD, x, Bc, Cc, h_in, dy, interpret):
     def rev_bc(i, j, c):
         return (i, nc - 1 - c, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, 2, q), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, n, p), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
+    ]
+    inputs = [SD, x, Bc, Cc, h_in, dy]
+    if dh_fin is not None:
+        in_specs.append(pl.BlockSpec((1, 1, n, p), lambda i, j, c: (i, j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(dh_fin)
     dx, dsdt, dBp, dCp = pl.pallas_call(
-        functools.partial(_bwd_kernel, mm=mm),
+        _make_bwd_kernel(dh_fin is not None, mm),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 2, q), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n, p), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, 2, q), rev, memory_space=pltpu.VMEM),
@@ -295,7 +337,7 @@ def _bwd_call(SD, x, Bc, Cc, h_in, dy, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(SD, x, Bc, Cc, h_in, dy)
+    )(*inputs)
     return dx, dsdt, dBp, dCp
 
 
@@ -309,20 +351,21 @@ def _ssd_fused(x, dt, S, Bc, Cc, interpret=False):
     inclusive cumsum of dt*A); Bc/Cc (b,nc,q,n) activation dtype.
     Returns y (b,h,nc,q,p) in the activation dtype (no D-skip)."""
     SD = jnp.stack([S, dt], axis=-2)
-    y, _ = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=False)
+    y, _, _ = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=False)
     return y
 
 
 def _ssd_fused_fwd(x, dt, S, Bc, Cc, interpret):
     SD = jnp.stack([S, dt], axis=-2)  # (b,h,nc,2,q) f32
-    y, h_in = _fwd_call(SD, x, Bc, Cc, interpret)
+    y, h_in, _ = _fwd_call(SD, x, Bc, Cc, interpret)
     return y, (SD, x, Bc, Cc, h_in)
 
 
-def _ssd_fused_bwd(interpret, res, dy):
+def _split_bwd(res, dy, interpret, dh_fin=None):
     SD, x, Bc, Cc, h_in = res
     dx, dsdt, dBp, dCp = _bwd_call(SD, x, Bc, Cc, h_in,
-                                   dy.astype(x.dtype), interpret)
+                                   dy.astype(x.dtype), interpret,
+                                   dh_fin=dh_fin)
     dS, ddt = dsdt[..., 0, :], dsdt[..., 1, :]
     # B/C are shared across heads: sum the per-head partials
     dB = jnp.sum(dBp, axis=1).astype(Bc.dtype)
@@ -330,16 +373,46 @@ def _ssd_fused_bwd(interpret, res, dy):
     return dx, ddt, dS, dB, dC
 
 
+def _ssd_fused_bwd(interpret, res, dy):
+    return _split_bwd(res, dy, interpret)
+
+
 _ssd_fused.defvjp(_ssd_fused_fwd, _ssd_fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _ssd_fused_carry(x, dt, S, Bc, Cc, interpret=False):
+    """Like ``_ssd_fused`` but also returns the slice-final state h_fin
+    (b,h,n,p) fp32 — the sequence-parallel carry. Its cotangent seeds the
+    reverse state chain in the backward kernel."""
+    out, _ = _ssd_fused_carry_fwd(x, dt, S, Bc, Cc, interpret)
+    return out  # (y, h_fin)
+
+
+def _ssd_fused_carry_fwd(x, dt, S, Bc, Cc, interpret):
+    SD = jnp.stack([S, dt], axis=-2)
+    y, h_in, h_fin = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True,
+                               emit_hfin=True)
+    return (y, h_fin), (SD, x, Bc, Cc, h_in)
+
+
+def _ssd_fused_carry_bwd(interpret, res, cts):
+    dy, dh_fin = cts
+    return _split_bwd(res, dy, interpret, dh_fin=dh_fin.astype(_F32))
+
+
+_ssd_fused_carry.defvjp(_ssd_fused_carry_fwd, _ssd_fused_carry_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "return_carry", "interpret"))
 def ssd_chunked_pallas(x, dt, A, Bm, Cm, D, *, chunk: int = 128,
+                       return_carry: bool = False,
                        interpret: bool = False):
-    """Drop-in for ``ops.ssd.ssd_chunked`` (same shapes/semantics, no
-    ``return_carry`` — sequence parallelism keeps the XLA path) backed by
-    the fused VMEM-resident kernel. L must be a chunk multiple (callers
-    pad); compiled mode additionally needs ``ssd_fused_supported``.
+    """Drop-in for ``ops.ssd.ssd_chunked`` (same shapes/semantics incl.
+    ``return_carry`` for sequence parallelism) backed by the fused
+    VMEM-resident kernel. L must be a chunk multiple (callers pad);
+    compiled mode additionally needs ``ssd_fused_supported``.
     """
     in_dtype = x.dtype
     mm = in_dtype if in_dtype == jnp.bfloat16 else _F32
@@ -356,6 +429,15 @@ def ssd_chunked_pallas(x, dt, A, Bm, Cm, D, *, chunk: int = 128,
     # autodiff routes dS into (ddt, dA) without kernel involvement
     S = jnp.cumsum(dth * A.astype(_F32)[None, :, None, None], axis=-1)
 
-    y = _ssd_fused(xh, dth, S, Bc, Cc, interpret)
+    if return_carry:
+        y, h_fin = _ssd_fused_carry(xh, dth, S, Bc, Cc, interpret)
+    else:
+        y = _ssd_fused(xh, dth, S, Bc, Cc, interpret)
     y = y.reshape(b, h, l, p).transpose(0, 2, 1, 3).astype(in_dtype)
-    return y + D[None, None, :, None].astype(in_dtype) * x
+    y = y + D[None, None, :, None].astype(in_dtype) * x
+    if return_carry:
+        # total slice decay: sum of every chunk's last cumsum entry
+        # (matches ops/ssd.ssd_chunked's return_carry contract)
+        total_decay = jnp.exp(S[..., -1].sum(-1))  # (b,h)
+        return y, total_decay, h_fin
+    return y

@@ -122,13 +122,29 @@ def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
     return fn(u, delta, tile(A), B, C, tile(D), z, tile(delta_bias))
 
 
-def _ssd_local(x, dt, A_t, Bm, Cm, D_t, *, axis_name: str, chunk: int):
+def _ssd_local(x, dt, A_t, Bm, Cm, D_t, *, axis_name: str, chunk: int,
+               impl: str = "xla", _interpret: bool = False):
     from si_mamba_tpu.ops.ssd import ssd_chunked
 
     A, D = A_t[0], D_t[0]
-    # local pass from a zero state + this slice's affine map (decay, state)
-    y0, dec_dev, st_dev = ssd_chunked(x, dt, A, Bm, Cm, D, chunk=chunk,
-                                      return_carry=True)
+    # local pass from a zero state + this slice's affine map (decay, state);
+    # per-shard fused-kernel route (same predicate as ssd_mixer_apply)
+    use_fused = impl == "ssd_fused" and (
+        _interpret or jax.default_backend() == "tpu")
+    if use_fused and not _interpret:
+        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_fused_supported
+
+        use_fused = ssd_fused_supported(x.shape[1], chunk, Bm.shape[-1],
+                                        x.shape[-1])
+    if use_fused:
+        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
+
+        y0, dec_dev, st_dev = ssd_chunked_pallas(
+            x, dt, A, Bm, Cm, D, chunk=chunk, return_carry=True,
+            interpret=_interpret)
+    else:
+        y0, dec_dev, st_dev = ssd_chunked(x, dt, A, Bm, Cm, D, chunk=chunk,
+                                          return_carry=True)
 
     # cross-device carry: compose the exclusive prefix of earlier slices
     h_in = _compose_exclusive_prefix(
@@ -144,7 +160,8 @@ def _ssd_local(x, dt, A_t, Bm, Cm, D_t, *, axis_name: str, chunk: int):
 
 
 def ssd_seq_parallel(x, dt, A, Bm, Cm, D, *, mesh: Mesh, axis: str = "seq",
-                     chunk: int = 64):
+                     chunk: int = 64, impl: str = "xla",
+                     _interpret: bool = False):
     """Chunked SSD (`ops/ssd.ssd_chunked`) with TIME sharded over ``axis``.
 
     Same decomposition as ``selective_scan_seq_parallel`` one level up: each
@@ -172,7 +189,8 @@ def ssd_seq_parallel(x, dt, A, Bm, Cm, D, *, mesh: Mesh, axis: str = "seq",
     seq3 = P(None, axis, None)
     seq4 = P(None, axis, None, None)
     fn = shard_map(
-        partial(_ssd_local, axis_name=axis, chunk=chunk),
+        partial(_ssd_local, axis_name=axis, chunk=chunk, impl=impl,
+                _interpret=_interpret),
         mesh=mesh,
         in_specs=(seq4, seq3, P(axis), seq3, seq3, P(axis)),
         out_specs=seq4,

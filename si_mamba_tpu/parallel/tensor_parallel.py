@@ -154,7 +154,8 @@ def shard_ssd_mixer_params(params: Dict[str, Any], mesh: Mesh, *,
     }
 
 
-def _ssd_mixer_local(p, u, *, d_state: int, chunk: int, axis: str):
+def _ssd_mixer_local(p, u, *, d_state: int, chunk: int, axis: str,
+                     impl: str = "xla", _interpret: bool = False):
     from si_mamba_tpu.ops.ssd import ssd_chunked
 
     f32 = jnp.float32
@@ -181,7 +182,23 @@ def _ssd_mixer_local(p, u, *, d_state: int, chunk: int, axis: str):
     h_loc = p["A_log"].shape[0]
     di_loc = xi.shape[-1]
     xh = xi.reshape(b, l + pad, h_loc, di_loc // h_loc)
-    y = ssd_chunked(xh, dt, A, Bm, Cm, p["D"].astype(f32), chunk=chunk)
+    # per-shard fused-kernel route (each device runs the Pallas kernel on
+    # its local heads; B/C are shard-local copies) — same fallback
+    # predicate as ssd_mixer_apply
+    use_fused = impl == "ssd_fused" and (
+        _interpret or jax.default_backend() == "tpu")
+    if use_fused and not _interpret:
+        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_fused_supported
+
+        use_fused = ssd_fused_supported(l + pad, chunk, d_state,
+                                        di_loc // h_loc)
+    if use_fused:
+        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
+
+        y = ssd_chunked_pallas(xh, dt, A, Bm, Cm, p["D"].astype(f32),
+                               chunk=chunk, interpret=_interpret)
+    else:
+        y = ssd_chunked(xh, dt, A, Bm, Cm, p["D"].astype(f32), chunk=chunk)
     y = y.reshape(b, l + pad, di_loc)[:, :l]
 
     # gated RMSNorm over the FULL d_inner: one scalar-field psum
@@ -194,7 +211,8 @@ def _ssd_mixer_local(p, u, *, d_state: int, chunk: int, axis: str):
 
 def ssd_mixer_tp(params: Dict[str, Any], u: jax.Array, *,
                  mesh: Mesh | None = None, n_heads: int, d_state: int,
-                 chunk: int = 128, axis: str = "model") -> jax.Array:
+                 chunk: int = 128, axis: str = "model",
+                 impl: str = "xla", _interpret: bool = False) -> jax.Array:
     """Tensor-parallel SSD mixer — params from ``shard_ssd_mixer_params``;
     u replicated over ``axis``. Matches ``ssd_mixer_apply`` on the packed
     params (oracle-pinned in tests/test_ssd.py). Heads shard in contiguous
@@ -222,7 +240,8 @@ def ssd_mixer_tp(params: Dict[str, Any], u: jax.Array, *,
         "norm_scale": P(axis), "out_proj_w": P(axis, None),
     }
     fn = shard_map(
-        partial(_ssd_mixer_local, d_state=d_state, chunk=chunk, axis=axis),
+        partial(_ssd_mixer_local, d_state=d_state, chunk=chunk, axis=axis,
+                impl=impl, _interpret=_interpret),
         mesh=mesh,
         in_specs=(pspec, P()),
         out_specs=P(),

@@ -178,3 +178,41 @@ def test_ssd_fused_full_model_logits():
     scale = max(1.0, float(np.abs(logits_x).max()))
     np.testing.assert_allclose(logits_f, logits_x, rtol=3e-4,
                                atol=3e-4 * scale)
+
+
+def test_ssd_fused_native_return_carry():
+    """Carry variant (y, total_decay, h_fin) Mosaic-compiled: exercises the
+    c-revisited h_fin output block and the seeded reverse carry input."""
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
+    from si_mamba_tpu.ops.ssd import ssd_chunked
+
+    rng = np.random.default_rng(5)
+    b, l, h, p, n = 2, 512, 6, 128, 128
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x, dt = mk(b, l, h, p), jax.nn.softplus(mk(b, l, h))
+    A = -jnp.exp(mk(h) * 0.3)
+    Bm, Cm, D = mk(b, l, n), mk(b, l, n), mk(h)
+
+    f_x = lambda *a: ssd_chunked(*a, chunk=128, return_carry=True)
+    f_p = lambda *a: ssd_chunked_pallas(*a, chunk=128, return_carry=True)
+    out_x = jax.jit(f_x)(x, dt, A, Bm, Cm, D)
+    out_p = jax.jit(f_p)(x, dt, A, Bm, Cm, D)
+    for name, a, b_ in zip(("y", "total_decay", "h_fin"), out_p, out_x):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        sc = max(1.0, float(np.abs(b_).max()))
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4 * sc,
+                                   err_msg=name)
+
+    def loss(fn, *a):
+        y, dec, hf = fn(*a)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(dec) + jnp.sum(jnp.cos(hf))
+
+    g_x = jax.jit(jax.grad(lambda *a: loss(f_x, *a), argnums=(0, 1)))(
+        x, dt, A, Bm, Cm, D)
+    g_p = jax.jit(jax.grad(lambda *a: loss(f_p, *a), argnums=(0, 1)))(
+        x, dt, A, Bm, Cm, D)
+    for name, gx, gp in zip("x dt".split(), g_x, g_p):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        sc = max(1.0, float(np.abs(gx).max()))
+        np.testing.assert_allclose(gp, gx, rtol=5e-4, atol=5e-4 * sc,
+                                   err_msg=f"carry grad mismatch for {name}")

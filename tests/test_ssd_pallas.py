@@ -127,3 +127,95 @@ def test_supported_gate():
     assert not ssd_fused_supported(500, 128, 128, 128)  # L not chunk-multiple
     assert not ssd_fused_supported(512, 128, 64, 128)   # sub-lane state
     assert not ssd_fused_supported(512, 128, 128, 96)   # sub-lane head
+
+
+def test_tp_fused_route_matches_xla_tp():
+    """ssd_mixer_tp(impl='ssd_fused') — each shard runs the Pallas kernel
+    (interpret) on its local heads — matches the XLA TP route."""
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.tensor_parallel import (
+        shard_ssd_mixer_params,
+        ssd_mixer_tp,
+    )
+
+    d_model, n_heads, d_state = 32, 4, 16
+    d_inner = 2 * d_model
+    ks = jax.random.split(jax.random.key(4), 8)
+    params = {
+        "in_proj_w": jax.random.normal(ks[0], (d_model, 2 * d_inner + 2 * d_state + n_heads)) * 0.1,
+        "conv_w": jax.random.normal(ks[1], (d_inner + 2 * d_state, 4)) * 0.2,
+        "conv_b": jax.random.normal(ks[2], (d_inner + 2 * d_state,)) * 0.1,
+        "dt_bias": jax.random.normal(ks[3], (n_heads,)),
+        "A_log": jax.random.normal(ks[4], (n_heads,)),
+        "D": jax.random.normal(ks[5], (n_heads,)),
+        "norm_scale": jnp.ones((d_inner,)),
+        "out_proj_w": jax.random.normal(ks[6], (d_inner, d_model)) * 0.1,
+    }
+    u = jax.random.normal(ks[7], (2, 64, d_model))
+    mesh = make_mesh(jax.devices()[:2], axis_names=("model",))
+    tp_params = shard_ssd_mixer_params(params, mesh, n_heads=n_heads,
+                                       d_state=d_state)
+    kw = dict(mesh=mesh, n_heads=n_heads, d_state=d_state, chunk=32)
+    y_x = jax.jit(lambda p, x: ssd_mixer_tp(p, x, **kw))(tp_params, u)
+    y_f = jax.jit(lambda p, x: ssd_mixer_tp(p, x, impl="ssd_fused",
+                                            _interpret=True, **kw))(tp_params, u)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_return_carry_matches_xla():
+    """return_carry path (y, total_decay, h_fin) values AND grads through
+    all three outputs — the sequence-parallel contract."""
+    args = _make(b=2, l=128, h=2, p=16, n=8, seed=9)
+
+    def loss(fn, x, dt, A, Bm, Cm, D):
+        y, dec, hf = fn(x, dt, A, Bm, Cm, D)
+        return (jnp.sum(jnp.sin(y)) + jnp.sum(dec * 3.0)
+                + jnp.sum(jnp.cos(hf)))
+
+    f_x = lambda *a: ssd_chunked(*a, chunk=32, return_carry=True)
+    f_p = lambda *a: ssd_chunked_pallas(*a, chunk=32, return_carry=True,
+                                        interpret=True)
+    out_x = f_x(*args)
+    out_p = f_p(*args)
+    for name, a, b_ in zip(("y", "total_decay", "h_fin"), out_p, out_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
+    g_x = jax.grad(lambda *a: loss(f_x, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_p = jax.grad(lambda *a: loss(f_p, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    for name, gr, gp in zip("x dt A B C".split(), g_x, g_p):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=5e-4, atol=5e-5,
+            err_msg=f"carry-path grad mismatch for {name}")
+
+
+def test_sp_fused_route_matches_xla_sp():
+    """ssd_seq_parallel(impl='ssd_fused'): each seq shard runs the fused
+    kernel (interpret) with return_carry; values + grads match the XLA SP
+    route on the 8-device CPU mesh."""
+    from si_mamba_tpu.parallel import make_mesh
+    from si_mamba_tpu.parallel.seq_scan import ssd_seq_parallel
+
+    x, dt, A, Bm, Cm, D = _make(b=1, l=64, h=2, p=8, n=8, seed=5)
+    mesh = make_mesh(jax.devices()[:4], axis_names=("seq",))
+    kw = dict(mesh=mesh, chunk=16)
+
+    y_x = jax.jit(lambda *a: ssd_seq_parallel(*a, **kw))(x, dt, A, Bm, Cm, D)
+    y_f = jax.jit(lambda *a: ssd_seq_parallel(*a, impl="ssd_fused",
+                                              _interpret=True, **kw))(
+        x, dt, A, Bm, Cm, D)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                               rtol=2e-5, atol=2e-5)
+
+    def lf(route):
+        def f(x, dt, Bm, Cm):
+            y = ssd_seq_parallel(x, dt, A, Bm, Cm, D, impl=route,
+                                 _interpret=(route == "ssd_fused"), **kw)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_x = jax.jit(jax.grad(lf("xla"), argnums=(0, 1, 2, 3)))(x, dt, Bm, Cm)
+    g_f = jax.jit(jax.grad(lf("ssd_fused"), argnums=(0, 1, 2, 3)))(x, dt, Bm, Cm)
+    for name, a, b_ in zip("x dt B C".split(), g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
