@@ -118,41 +118,45 @@ def test_pallas_native_full_config_logits():
                                atol=3e-4 * scale)
 
 
-def test_ssd_fused_native_matches_xla_chunked():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ssd_fused_native_matches_xla_chunked(dtype):
     """Fused SSD kernel (Mosaic-compiled) vs the XLA chunked path at the
-    production full-tile geometry (q = n = p = 128): forward + grads.
-    Interpret-mode math is pinned in test_ssd_pallas.py; this pins the
-    lowering (in-kernel (2,q)->(q,2) relayouts, reversed backward grid,
-    scratch carry) on the real chip."""
+    production full-tile geometry (q = n = p = 128): forward + grads, in
+    fp32 AND bf16 (the bench perf preset runs bf16 — the measured path is
+    the pinned path). Interpret-mode math is pinned in test_ssd_pallas.py;
+    this pins the lowering (in-kernel (2,q)->(q,2) relayouts, reversed
+    backward grid, scratch carry) on the real chip."""
     from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
     from si_mamba_tpu.ops.ssd import ssd_chunked
 
     rng = np.random.default_rng(11)
     b, l, h, p, n = 4, 512, 6, 128, 128
     mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
-    x = mk(b, l, h, p)
+    x = mk(b, l, h, p).astype(dtype)
     dt = jax.nn.softplus(mk(b, l, h))
     A = -jnp.exp(mk(h) * 0.3)
-    Bm, Cm, D = mk(b, l, n), mk(b, l, n), mk(h)
+    Bm, Cm, D = mk(b, l, n).astype(dtype), mk(b, l, n).astype(dtype), mk(h)
+    tol = 1e-4 if dtype == jnp.float32 else 4e-2
 
     def loss(fn, *a):
         return jnp.sum(jnp.sin(fn(*a)))
 
     f_x = lambda *a: ssd_chunked(*a, chunk=128)
     f_p = lambda *a: ssd_chunked_pallas(*a, chunk=128)
-    y_x = np.asarray(jax.jit(f_x)(x, dt, A, Bm, Cm, D))
-    y_p = np.asarray(jax.jit(f_p)(x, dt, A, Bm, Cm, D))
+    y_x = np.asarray(jax.jit(f_x)(x, dt, A, Bm, Cm, D), np.float32)
+    y_p = np.asarray(jax.jit(f_p)(x, dt, A, Bm, Cm, D), np.float32)
     scale = max(1.0, float(np.abs(y_x).max()))
-    np.testing.assert_allclose(y_p, y_x, rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(y_p, y_x, rtol=tol, atol=tol * scale)
 
     g_x = jax.jit(jax.grad(lambda *a: loss(f_x, *a),
                            argnums=(0, 1, 2, 3, 4)))(x, dt, A, Bm, Cm, D)
     g_p = jax.jit(jax.grad(lambda *a: loss(f_p, *a),
                            argnums=(0, 1, 2, 3, 4)))(x, dt, A, Bm, Cm, D)
+    gtol = 5 * tol
     for name, gx, gp in zip("x dt A B C".split(), g_x, g_p):
-        gx, gp = np.asarray(gx), np.asarray(gp)
+        gx, gp = np.asarray(gx, np.float32), np.asarray(gp, np.float32)
         sc = max(1.0, float(np.abs(gx).max()))
-        np.testing.assert_allclose(gp, gx, rtol=5e-4, atol=5e-4 * sc,
+        np.testing.assert_allclose(gp, gx, rtol=gtol, atol=gtol * sc,
                                    err_msg=f"native grad mismatch for {name}")
 
 
