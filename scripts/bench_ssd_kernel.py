@@ -38,6 +38,9 @@ def main():
     impls = {
         "xla": lambda *a: ssd_chunked(*a, chunk=CHUNK),
         "pallas": lambda *a: ssd_chunked_pallas(*a, chunk=CHUNK),
+        # chunk sweep: larger q amortizes the per-head B/C re-reads and
+        # halves grid steps at the cost of q^2-scaled intra-chunk FLOPs
+        "pallas_q256": lambda *a: ssd_chunked_pallas(*a, chunk=256),
     }
     out = {}
     for name, f in impls.items():

@@ -28,7 +28,7 @@ def _make(b=2, l=256, h=3, p=16, n=8, seed=0, dtype=jnp.float32):
     return x, dt, A, Bm, Cm, D
 
 
-@pytest.mark.parametrize("chunk,l", [(64, 256), (128, 128), (32, 96)])
+@pytest.mark.parametrize("chunk,l", [(64, 256), (128, 128), (32, 96), (256, 512)])
 def test_fwd_matches_chunked(chunk, l):
     args = _make(l=l)
     y_ref = ssd_chunked(*args, chunk=chunk)
