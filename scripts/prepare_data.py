@@ -171,8 +171,24 @@ def download(root: str) -> None:
         print(f"{name}: manual download required -> {src}")
 
 
-def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int) -> None:
-    """Tiny synthetic datasets in the exact reference on-disk formats."""
+def _class_cloud(rng, ci: int, npts: int) -> np.ndarray:
+    """Learnable synthetic geometry: class ci = (ci+1) Gaussian blobs on a
+    unit sphere. Blob count survives normalization, FPS subsampling, and
+    the rotation/scale-translate augmentations, so a run on --learnable
+    data demonstrates real convergence through the full CLI pipeline."""
+    k = ci + 1
+    centers = rng.standard_normal((k, 3))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True) + 1e-9
+    which = rng.integers(0, k, npts)
+    pts = centers[which] + 0.08 * rng.standard_normal((npts, 3))
+    return pts.astype(np.float32)
+
+
+def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
+              learnable: bool = False) -> None:
+    """Tiny synthetic datasets in the exact reference on-disk formats.
+    ``learnable`` swaps the pure-noise clouds for class-structured geometry
+    (see _class_cloud) in ModelNet and ScanObjectNN."""
     import h5py
 
     rng = np.random.default_rng(seed)
@@ -187,7 +203,12 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int) -> 
         os.makedirs(os.path.join(mn, cls), exist_ok=True)
         for j in range(n_train + n_test):
             sid = f"{cls}_{j:04d}"
-            pts = rng.standard_normal((npoints, 6)).astype(np.float32)
+            if learnable:
+                xyz = _class_cloud(rng, ci % 15, npoints)
+                pts = np.concatenate(
+                    [xyz, rng.standard_normal((npoints, 3)).astype(np.float32)], 1)
+            else:
+                pts = rng.standard_normal((npoints, 6)).astype(np.float32)
             np.savetxt(os.path.join(mn, cls, sid + ".txt"), pts, delimiter=",")
             ids["train" if j < n_train else "test"].append(sid)
     for split, lst in ids.items():
@@ -199,8 +220,12 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int) -> 
         d = os.path.join(root, "ScanObjectNN", split)
         os.makedirs(d, exist_ok=True)
         for sub, n in (("training", n_train * 5), ("test", n_test * 5)):
-            data = rng.standard_normal((n, 2048, 3)).astype(np.float32)
             label = rng.integers(0, 15, n).astype(np.int64)
+            if learnable:
+                data = np.stack([_class_cloud(rng, int(c), 2048)
+                                 for c in label])
+            else:
+                data = rng.standard_normal((n, 2048, 3)).astype(np.float32)
             for fname in ([f"{sub}_objectdataset.h5",
                            f"{sub}_objectdataset_augmentedrot_scale75.h5"]
                           if split == "main_split" else [f"{sub}_objectdataset.h5"]):
@@ -257,13 +282,16 @@ def main():
     p.add_argument("--check", action="store_true")
     p.add_argument("--download", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--learnable", action="store_true",
+                   help="class-structured synthetic clouds (real convergence\n                   on dev soak runs) instead of pure noise")
     p.add_argument("--n-train", type=int, default=4)
     p.add_argument("--n-test", type=int, default=2)
     p.add_argument("--npoints", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     if args.synthetic:
-        synthetic(args.root, args.n_train, args.n_test, args.npoints, args.seed)
+        synthetic(args.root, args.n_train, args.n_test, args.npoints,
+                  args.seed, learnable=args.learnable)
     if args.download:
         download(args.root)
     if args.check or not (args.synthetic or args.download):
