@@ -37,6 +37,7 @@ One-command evals once real data + a checkpoint exist:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -139,6 +140,25 @@ def check_tree(root: str) -> bool:
         else:
             good = _missing(f"{lst} ({MANUAL_SOURCES['ShapeNet55-34']})")
 
+    # SVM-probe h5 shards (pretrain validation, ModelNet40SVM loader
+    # si_mamba_tpu/data/datasets.py:119; reference datasets/ModelNetDataset.py:36-49)
+    svm = os.path.join(root, "modelnet40_ply_hdf5_2048")
+    for part in ("train", "test"):
+        shards = glob.glob(os.path.join(svm, f"ply_data_{part}*.h5"))
+        if shards:
+            import h5py
+
+            try:
+                with h5py.File(sorted(shards)[0], "r") as f:
+                    assert "data" in f and "label" in f
+                _ok(f"ModelNet40SVM ({part}): {len(shards)} h5 shard(s)")
+            except Exception as e:
+                print(f"  [BAD] {shards[0]}: expected data/label h5 keys ({e})")
+                good = False
+        else:
+            good = _missing(
+                f"{svm}/ply_data_{part}*.h5 (Point-BERT DATASET.md h5 shards)")
+
     sp = os.path.join(root, "shapenetcore_partanno_segmentation_benchmark_v0_normal")
     cat = os.path.join(sp, "synsetoffset2category.txt")
     if os.path.isfile(cat):
@@ -188,7 +208,9 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
               learnable: bool = False) -> None:
     """Tiny synthetic datasets in the exact reference on-disk formats.
     ``learnable`` swaps the pure-noise clouds for class-structured geometry
-    (see _class_cloud) in ModelNet and ScanObjectNN."""
+    (see _class_cloud) in every family: ModelNet / ScanObjectNN / SVM-h5
+    (label-structured), ShapeNet55 (blob-structured, reconstructable), and
+    ShapeNetPart (part = blob membership, learnable from geometry)."""
     import h5py
 
     rng = np.random.default_rng(seed)
@@ -232,6 +254,18 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
                 with h5py.File(os.path.join(d, fname), "w") as f:
                     f["data"], f["label"] = data, label
 
+    # --- ModelNet40 SVM h5 shards (pretrain probe, ModelNet40SVM format) ---
+    svm = os.path.join(root, "modelnet40_ply_hdf5_2048")
+    os.makedirs(svm, exist_ok=True)
+    for sub, n in (("train", n_train * 5), ("test", n_test * 5)):
+        label = rng.integers(0, 15, n).astype(np.int64)
+        if learnable:
+            data = np.stack([_class_cloud(rng, int(c), 2048) for c in label])
+        else:
+            data = rng.standard_normal((n, 2048, 3)).astype(np.float32)
+        with h5py.File(os.path.join(svm, f"ply_data_{sub}0.h5"), "w") as f:
+            f["data"], f["label"] = data, label[:, None]
+
     # --- ShapeNet55 ---
     sn = os.path.join(root, "ShapeNet55-34")
     os.makedirs(os.path.join(sn, "shapenet_pc"), exist_ok=True)
@@ -239,8 +273,9 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
     names = []
     for i in range(n_train + n_test):
         name = f"02691156-synth{i:04d}.npy"
-        np.save(os.path.join(sn, "shapenet_pc", name),
-                rng.standard_normal((npoints, 3)).astype(np.float32))
+        cloud = (_class_cloud(rng, i % 8, npoints) if learnable
+                 else rng.standard_normal((npoints, 3)).astype(np.float32))
+        np.save(os.path.join(sn, "shapenet_pc", name), cloud)
         names.append(name)
     with open(os.path.join(sn, "ShapeNet-55", "train.txt"), "w") as f:
         f.write("\n".join(names[:n_train]) + "\n")
@@ -260,9 +295,21 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
         os.makedirs(os.path.join(sp, syn), exist_ok=True)
         for i in range(n_train + n_test):
             mid = f"synth{i:04d}"
-            xyz = rng.standard_normal((npoints, 3)).astype(np.float32)
-            nrm = rng.standard_normal((npoints, 3)).astype(np.float32)
-            seg = (part_base[syn] + rng.integers(0, 4, npoints)).astype(np.float32)
+            if learnable:
+                # Part label = which of 4 well-separated blobs the point
+                # sits in, so seg is recoverable from local geometry and a
+                # soak run shows mIoU rising above the 25% chance floor.
+                centers = rng.standard_normal((4, 3))
+                centers /= np.linalg.norm(centers, axis=1, keepdims=True) + 1e-9
+                which = rng.integers(0, 4, npoints)
+                xyz = (centers[which]
+                       + 0.08 * rng.standard_normal((npoints, 3))).astype(np.float32)
+                nrm = rng.standard_normal((npoints, 3)).astype(np.float32)
+                seg = (part_base[syn] + which).astype(np.float32)
+            else:
+                xyz = rng.standard_normal((npoints, 3)).astype(np.float32)
+                nrm = rng.standard_normal((npoints, 3)).astype(np.float32)
+                seg = (part_base[syn] + rng.integers(0, 4, npoints)).astype(np.float32)
             np.savetxt(os.path.join(sp, syn, mid + ".txt"),
                        np.concatenate([xyz, nrm, seg[:, None]], 1), fmt="%.6f")
             split = "train" if i < n_train else "test"

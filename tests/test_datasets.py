@@ -9,6 +9,7 @@ import pytest
 
 from si_mamba_tpu.data.datasets import (
     ModelNet,
+    ModelNet40SVM,
     ModelNetFewShot,
     ScanObjectNN,
     ShapeNet55,
@@ -147,3 +148,43 @@ def test_prepare_data_synthetic_loads_everywhere(tmp_path):
         npoints=64, split="trainval")
     pts, cls_idx, seg = sp[0]
     assert pts.shape == (64, 3) and seg.shape == (64,)
+
+    svm = ModelNet40SVM(str(root), partition="train", num_points=256)
+    pts, label = svm[0]
+    assert pts.shape == (256, 3) and 0 <= label < 40
+
+
+def test_prepare_data_learnable_class_structure(tmp_path):
+    """--learnable writes class-structured geometry: same-class clouds share
+    blob count, so a soak run can actually converge (dev-rig evidence for
+    the blocked real-data north star)."""
+    import subprocess
+    import sys
+
+    root = tmp_path / "data"
+    r = subprocess.run(
+        [sys.executable, "scripts/prepare_data.py", "--synthetic",
+         "--learnable", "--check", "--root", str(root), "--npoints", "128",
+         "--n-train", "3", "--n-test", "1"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert "ALL PRESENT" in r.stdout, r.stdout + r.stderr
+
+    # Part labels must be recoverable from geometry: points with the same
+    # seg id sit in one tight blob (max radius << inter-blob distance).
+    from si_mamba_tpu.data.shapenetpart import PartNormalDataset
+
+    sp = PartNormalDataset(
+        str(root / "shapenetcore_partanno_segmentation_benchmark_v0_normal"),
+        npoints=128, split="trainval")
+    pts, _, seg = sp[0]
+    for part in np.unique(seg):
+        blob = pts[seg == part]
+        centroid = blob.mean(0)
+        assert np.linalg.norm(blob - centroid, axis=1).max() < 0.5
+
+    # SVM shards: labels span the learnable class range, data is structured.
+    svm = ModelNet40SVM(str(root), partition="test", num_points=512)
+    assert len(svm) >= 1
+    pts, label = svm[0]
+    assert pts.shape == (512, 3) and 0 <= label < 15
