@@ -148,12 +148,13 @@ def check_tree(root: str) -> bool:
         if shards:
             import h5py
 
+            first = sorted(shards)[0]
             try:
-                with h5py.File(sorted(shards)[0], "r") as f:
+                with h5py.File(first, "r") as f:
                     assert "data" in f and "label" in f
                 _ok(f"ModelNet40SVM ({part}): {len(shards)} h5 shard(s)")
             except Exception as e:
-                print(f"  [BAD] {shards[0]}: expected data/label h5 keys ({e})")
+                print(f"  [BAD] {first}: expected data/label h5 keys ({e})")
                 good = False
         else:
             good = _missing(
@@ -191,14 +192,32 @@ def download(root: str) -> None:
         print(f"{name}: manual download required -> {src}")
 
 
+def _spread_centers(rng, k: int) -> np.ndarray:
+    """k well-separated unit vectors: a Fibonacci-sphere lattice (minimum
+    pairwise angle ~sqrt(4*pi/k), i.e. >50 deg at k<=15 — far above the
+    ~30 deg two blobs of noise sigma 0.08 would need to merge) under a
+    random rotation. Random centers are NOT used: two of k i.i.d.
+    directions land close often enough to make labels unrecoverable for a
+    visible fraction of shapes."""
+    i = np.arange(k, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / k)
+    theta = np.pi * (1.0 + 5.0 ** 0.5) * i
+    centers = np.stack([np.sin(phi) * np.cos(theta),
+                        np.sin(phi) * np.sin(theta),
+                        np.cos(phi)], axis=1)
+    q, r = np.linalg.qr(rng.standard_normal((3, 3)))
+    q *= np.sign(np.diag(r))  # uniform over O(3); reflection is fine here
+    return centers @ q
+
+
 def _class_cloud(rng, ci: int, npts: int) -> np.ndarray:
     """Learnable synthetic geometry: class ci = (ci+1) Gaussian blobs on a
-    unit sphere. Blob count survives normalization, FPS subsampling, and
-    the rotation/scale-translate augmentations, so a run on --learnable
-    data demonstrates real convergence through the full CLI pipeline."""
+    unit sphere (well-separated lattice centers, random per-shape rotation).
+    Blob count survives normalization, FPS subsampling, and the
+    rotation/scale-translate augmentations, so a run on --learnable data
+    demonstrates real convergence through the full CLI pipeline."""
     k = ci + 1
-    centers = rng.standard_normal((k, 3))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True) + 1e-9
+    centers = _spread_centers(rng, k)
     which = rng.integers(0, k, npts)
     pts = centers[which] + 0.08 * rng.standard_normal((npts, 3))
     return pts.astype(np.float32)
@@ -299,8 +318,7 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
                 # Part label = which of 4 well-separated blobs the point
                 # sits in, so seg is recoverable from local geometry and a
                 # soak run shows mIoU rising above the 25% chance floor.
-                centers = rng.standard_normal((4, 3))
-                centers /= np.linalg.norm(centers, axis=1, keepdims=True) + 1e-9
+                centers = _spread_centers(rng, 4)
                 which = rng.integers(0, 4, npoints)
                 xyz = (centers[which]
                        + 0.08 * rng.standard_normal((npoints, 3))).astype(np.float32)

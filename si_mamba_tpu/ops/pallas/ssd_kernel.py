@@ -385,8 +385,12 @@ def _ssd_fused_carry(x, dt, S, Bc, Cc, interpret=False):
     """Like ``_ssd_fused`` but also returns the slice-final state h_fin
     (b,h,n,p) fp32 — the sequence-parallel carry. Its cotangent seeds the
     reverse state chain in the backward kernel."""
-    out, _ = _ssd_fused_carry_fwd(x, dt, S, Bc, Cc, interpret)
-    return out  # (y, h_fin)
+    # Undifferentiated primal (inference): skip the per-chunk-state
+    # output the backward would read — XLA cannot DCE a custom-call output.
+    SD = jnp.stack([S, dt], axis=-2)
+    y, _, h_fin = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=False,
+                            emit_hfin=True)
+    return y, h_fin
 
 
 def _ssd_fused_carry_fwd(x, dt, S, Bc, Cc, interpret):

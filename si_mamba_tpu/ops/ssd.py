@@ -150,18 +150,33 @@ def ssd_chunked(x, dt, A, Bm, Cm, D, *, chunk: int = 64,
     return y
 
 
+def ssd_fused_route(impl: str, l_padded: int, chunk: int, d_state: int,
+                    head_dim: int, _interpret: bool = False) -> bool:
+    """THE fused-kernel routing predicate, shared by every ``ssd_fused``
+    call site (``ssd_mixer_apply``, ``parallel/seq_scan._ssd_local``,
+    ``parallel/tensor_parallel._ssd_mixer_local``): interpret mode always
+    routes (Mosaic tile constraints apply only to compiled kernels);
+    compiled mode needs the TPU backend + a supported tile geometry.
+    ``l_padded`` is the chunk-multiple sequence length the kernel will see."""
+    if impl != "ssd_fused":
+        return False
+    if _interpret:
+        return True
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_fused_supported
+
+    return (jax.default_backend() == "tpu"
+            and ssd_fused_supported(l_padded, chunk, d_state, head_dim))
+
+
 def ssd_fused_engaged(l: int, *, chunk: int = 128, d_state: int = 128,
                       head_dim: int = 128) -> bool:
     """True iff ``impl='ssd_fused'`` would actually route to the Pallas
-    kernel for this geometry on the CURRENT backend (same predicate as the
-    fallback inside ``ssd_mixer_apply``). Bench/profiler guard: without it
-    an off-TPU or off-tile run silently measures the XLA fallback and
-    reports it as a fused-kernel number (an A/A comparison)."""
-    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_fused_supported
-
+    kernel for this geometry on the CURRENT backend (see
+    ``ssd_fused_route``). Bench/profiler guard: without it an off-TPU or
+    off-tile run silently measures the XLA fallback and reports it as a
+    fused-kernel number (an A/A comparison)."""
     pad = (-l) % chunk
-    return (jax.default_backend() == "tpu"
-            and ssd_fused_supported(l + pad, chunk, d_state, head_dim))
+    return ssd_fused_route("ssd_fused", l + pad, chunk, d_state, head_dim)
 
 
 def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
@@ -211,18 +226,9 @@ def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
         dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
 
     xh = xm.reshape(b, l + pad, n_heads, head_p)
-    use_fused = impl == "ssd_fused" and (
-        _interpret or jax.default_backend() == "tpu")
-    if use_fused:
-        from si_mamba_tpu.ops.pallas.ssd_kernel import (
-            ssd_chunked_pallas,
-            ssd_fused_supported,
-        )
+    if ssd_fused_route(impl, l + pad, chunk, d_state, head_p, _interpret):
+        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
 
-        if not (_interpret or ssd_fused_supported(l + pad, chunk, d_state,
-                                                  head_p)):
-            use_fused = False
-    if use_fused:
         y = ssd_chunked_pallas(xh, dt, A, Bm, Cm, params["D"].astype(_F32),
                                chunk=chunk, interpret=_interpret)
     else:

@@ -124,19 +124,13 @@ def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
 
 def _ssd_local(x, dt, A_t, Bm, Cm, D_t, *, axis_name: str, chunk: int,
                impl: str = "xla", _interpret: bool = False):
-    from si_mamba_tpu.ops.ssd import ssd_chunked
+    from si_mamba_tpu.ops.ssd import ssd_chunked, ssd_fused_route
 
     A, D = A_t[0], D_t[0]
     # local pass from a zero state + this slice's affine map (decay, state);
-    # per-shard fused-kernel route (same predicate as ssd_mixer_apply)
-    use_fused = impl == "ssd_fused" and (
-        _interpret or jax.default_backend() == "tpu")
-    if use_fused and not _interpret:
-        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_fused_supported
-
-        use_fused = ssd_fused_supported(x.shape[1], chunk, Bm.shape[-1],
-                                        x.shape[-1])
-    if use_fused:
+    # per-shard fused-kernel route (the shared ssd_fused_route predicate)
+    if ssd_fused_route(impl, x.shape[1], chunk, Bm.shape[-1], x.shape[-1],
+                       _interpret):
         from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
 
         y0, dec_dev, st_dev = ssd_chunked_pallas(

@@ -183,16 +183,12 @@ def _ssd_mixer_local(p, u, *, d_state: int, chunk: int, axis: str,
     di_loc = xi.shape[-1]
     xh = xi.reshape(b, l + pad, h_loc, di_loc // h_loc)
     # per-shard fused-kernel route (each device runs the Pallas kernel on
-    # its local heads; B/C are shard-local copies) — same fallback
-    # predicate as ssd_mixer_apply
-    use_fused = impl == "ssd_fused" and (
-        _interpret or jax.default_backend() == "tpu")
-    if use_fused and not _interpret:
-        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_fused_supported
+    # its local heads; B/C are shard-local copies) — the shared
+    # ssd_fused_route predicate
+    from si_mamba_tpu.ops.ssd import ssd_fused_route
 
-        use_fused = ssd_fused_supported(l + pad, chunk, d_state,
-                                        di_loc // h_loc)
-    if use_fused:
+    if ssd_fused_route(impl, l + pad, chunk, d_state, di_loc // h_loc,
+                       _interpret):
         from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
 
         y = ssd_chunked_pallas(xh, dt, A, Bm, Cm, p["D"].astype(f32),
