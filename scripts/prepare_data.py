@@ -315,13 +315,23 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
         for i in range(n_train + n_test):
             mid = f"synth{i:04d}"
             if learnable:
-                # Part label = which of 4 well-separated blobs the point
-                # sits in, so seg is recoverable from local geometry and a
-                # soak run shows mIoU rising above the 25% chance floor.
+                # Part label = which of 4 blobs the point sits in, where each
+                # blob carries LOCAL cues — a distinct radius from the origin
+                # and a distinct point spread (7x density range) — so the
+                # label is recoverable from a point's local neighborhood
+                # alone.  (An earlier variant used a symmetric unit-radius
+                # lattice under a random rotation: there the blob->label map
+                # is only identifiable from the global pairwise-distance
+                # profile, and tiny soak models plateaued at the 25% chance
+                # floor.  Radius ordering and relative density both survive
+                # pc_normalize and the scale/translate augmentations.)
                 centers = _spread_centers(rng, 4)
+                radii = np.array([0.35, 0.65, 0.95, 1.25])
+                sigma = np.array([0.02, 0.05, 0.09, 0.14])
                 which = rng.integers(0, 4, npoints)
-                xyz = (centers[which]
-                       + 0.08 * rng.standard_normal((npoints, 3))).astype(np.float32)
+                xyz = (centers[which] * radii[which][:, None]
+                       + sigma[which][:, None]
+                       * rng.standard_normal((npoints, 3))).astype(np.float32)
                 nrm = rng.standard_normal((npoints, 3)).astype(np.float32)
                 seg = (part_base[syn] + which).astype(np.float32)
             else:
