@@ -27,6 +27,8 @@ Layout (reference README.md:61-133):
   data/shapenetcore_partanno_segmentation_benchmark_v0_normal/
       <synset>/<model>.txt  train_test_split/shuffled_{split}_file_list.json
       synsetoffset2category.txt
+  data/ModelNetFewshot/{way}way_{shot}shot/{fold}.pkl
+      ({'train': [(points, label), ...], 'test': [...]} pickles)
 
 One-command evals once real data + a checkpoint exist:
   python -m si_mamba_tpu.train.cli --config cfgs/finetune_modelnet.yaml \
@@ -168,6 +170,31 @@ def check_tree(root: str) -> bool:
         _ok("ShapeNetPart: category map + split dir present")
     else:
         good = _missing(f"{cat} (direct zip: {SHAPENETPART_URL})")
+
+    # Few-shot pickles (ModelNetFewShot loader datasets.py:168-187;
+    # reference datasets/ModelNetDatasetFewShot.py — Point-MAE protocol:
+    # data/ModelNetFewshot/{way}way_{shot}shot/{fold}.pkl)
+    fs = os.path.join(root, "ModelNetFewshot")
+    if os.path.isdir(fs):
+        settings = glob.glob(os.path.join(fs, "*way_*shot"))
+        pkls = glob.glob(os.path.join(fs, "*way_*shot", "*.pkl"))
+        if settings and pkls:
+            import pickle
+
+            try:
+                with open(sorted(pkls)[0], "rb") as f:
+                    d = pickle.load(f)
+                assert "train" in d and "test" in d
+                _ok(f"ModelNetFewshot: {len(settings)} setting(s), "
+                    f"{len(pkls)} fold pickle(s)")
+            except Exception as e:
+                print(f"  [BAD] {sorted(pkls)[0]}: expected "
+                      f"{{'train','test'}} pickle ({e})")
+                good = False
+        else:
+            good = _missing(f"{fs}/<way>way_<shot>shot/<fold>.pkl")
+    else:
+        good = _missing(f"{fs} (Point-MAE DATASET.md few-shot pickles)")
     return good
 
 
@@ -223,13 +250,42 @@ def _class_cloud(rng, ci: int, npts: int) -> np.ndarray:
     return pts.astype(np.float32)
 
 
+def write_fewshot(root: str, rng, npoints: int, n_test: int,
+                  learnable: bool) -> None:
+    """ModelNetFewshot pickles (ModelNetFewShot loader datasets.py:168-187,
+    reference datasets/ModelNetDatasetFewShot.py): the four published
+    way/shot settings, 2 folds each (the reference ships 10), ``shot``
+    support samples and ``n_test`` queries per class."""
+    import pickle
+
+    fs = os.path.join(root, "ModelNetFewshot")
+    for way, shot in ((5, 10), (5, 20), (10, 10), (10, 20)):
+        d = os.path.join(fs, f"{way}way_{shot}shot")
+        os.makedirs(d, exist_ok=True)
+        for fold in range(2):
+            def _fs_sample(ci):
+                pts = (_class_cloud(rng, ci, npoints) if learnable
+                       else rng.standard_normal((npoints, 3)).astype(np.float32))
+                return pts, np.array([ci], np.int64)
+
+            samples = {
+                "train": [_fs_sample(ci) for ci in range(way)
+                          for _ in range(shot)],
+                "test": [_fs_sample(ci) for ci in range(way)
+                         for _ in range(n_test)],
+            }
+            with open(os.path.join(d, f"{fold}.pkl"), "wb") as f:
+                pickle.dump(samples, f)
+
+
 def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
               learnable: bool = False) -> None:
     """Tiny synthetic datasets in the exact reference on-disk formats.
     ``learnable`` swaps the pure-noise clouds for class-structured geometry
     (see _class_cloud) in every family: ModelNet / ScanObjectNN / SVM-h5
-    (label-structured), ShapeNet55 (blob-structured, reconstructable), and
-    ShapeNetPart (part = blob membership, learnable from geometry)."""
+    (label-structured), ShapeNet55 (blob-structured, reconstructable),
+    ModelNetFewshot (label-structured way/shot pickles), and ShapeNetPart
+    (part = blob membership with local radius/density cues)."""
     import h5py
 
     rng = np.random.default_rng(seed)
@@ -300,6 +356,9 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
         f.write("\n".join(names[:n_train]) + "\n")
     with open(os.path.join(sn, "ShapeNet-55", "test.txt"), "w") as f:
         f.write("\n".join(names[n_train:]) + "\n")
+
+    # --- ModelNetFewshot (Point-MAE protocol: way/shot settings x folds) ---
+    write_fewshot(root, rng, npoints, n_test, learnable)
 
     # --- ShapeNetPart ---
     sp = os.path.join(root, "shapenetcore_partanno_segmentation_benchmark_v0_normal")

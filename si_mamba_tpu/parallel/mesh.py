@@ -127,10 +127,16 @@ def dp_eval_jit(step_fn, mesh: Mesh, n_batch: int = 1, n_extra: int = 0):
         n = np.asarray(batch[0]).shape[0]
         n_pad = -(-n // ndev) * ndev
         if n_pad != n:
+            # pad on the HOST (numpy): jnp.concatenate here would run under
+            # the caller's installed mesh context (jax.set_mesh(global) in
+            # the runners) and commit the batch replicated on that mesh —
+            # the 'data'-sharded jit then rejects it ("Sharding passed to
+            # jit does not match...") instead of sharding it. Uncommitted
+            # numpy inputs let the jit place them per in_shardings.
             batch = tuple(
-                jnp.concatenate(
-                    [jnp.asarray(b),
-                     jnp.repeat(jnp.asarray(b)[-1:], n_pad - n, axis=0)], 0)
+                np.concatenate(
+                    [np.asarray(b),
+                     np.repeat(np.asarray(b)[-1:], n_pad - n, axis=0)], 0)
                 for b in batch)
         # run under THIS mesh's context: the runner installs the global
         # mesh via jax.set_mesh, but multi-host eval uses the per-process
