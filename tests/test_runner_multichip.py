@@ -126,6 +126,15 @@ def test_dp_eval_ragged_final_batch():
     logits8 = np.asarray(eval_step(state, pts[:8]))
     np.testing.assert_allclose(logits[:8], logits8, rtol=2e-5, atol=2e-5)
 
+    # Regression (found by tests/test_cli_fewshot.py): the runners install
+    # the global mesh via jax.set_mesh around the whole epoch loop, so the
+    # wrapper's ragged-pad concatenate used to run under that context and
+    # commit the batch replicated — which the 'data'-sharded jit rejects.
+    # The pad must stay in host numpy so this also works in-context.
+    with jax.set_mesh(mesh):
+        logits_ctx = np.asarray(eval_step(state, pts))
+    np.testing.assert_allclose(logits_ctx, logits, rtol=2e-5, atol=2e-5)
+
 
 def test_tsne_run(tmp_path):
     """--tsne eval path (reference test_tsne, tools/runner_finetune.py:615-
