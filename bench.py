@@ -285,6 +285,17 @@ def main():
         except Exception as e:  # pragma: no cover - depends on backend
             ssd_extra["serve_error"] = f"{type(e).__name__}"
 
+    # Best train throughput across the measured configs: the headline
+    # `value` stays the reference-architecture (Mamba-1) workload for
+    # cross-round comparability; this extra records what the framework's
+    # fastest opt-in configuration achieves on the same shape.
+    best_cfg, best_cps = "mamba1", clouds_per_sec
+    for k in ("ssd_clouds_per_sec", "ssd_fused_clouds_per_sec"):
+        if ssd_extra.get(k, 0) > best_cps:
+            best_cfg, best_cps = k.replace("_clouds_per_sec", ""), ssd_extra[k]
+    ssd_extra["best_train_clouds_per_sec"] = round(best_cps, 2)
+    ssd_extra["best_train_config"] = best_cfg
+
     print(json.dumps({
         "metric": "modelnet40_train_clouds_per_sec_per_chip",
         "value": round(clouds_per_sec, 2),
