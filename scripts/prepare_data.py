@@ -259,15 +259,16 @@ def write_fewshot(root: str, rng, npoints: int, n_test: int,
     import pickle
 
     fs = os.path.join(root, "ModelNetFewshot")
+
+    def _fs_sample(ci):
+        pts = (_class_cloud(rng, ci, npoints) if learnable
+               else rng.standard_normal((npoints, 3)).astype(np.float32))
+        return pts, np.array([ci], np.int64)
+
     for way, shot in ((5, 10), (5, 20), (10, 10), (10, 20)):
         d = os.path.join(fs, f"{way}way_{shot}shot")
         os.makedirs(d, exist_ok=True)
         for fold in range(2):
-            def _fs_sample(ci):
-                pts = (_class_cloud(rng, ci, npoints) if learnable
-                       else rng.standard_normal((npoints, 3)).astype(np.float32))
-                return pts, np.array([ci], np.int64)
-
             samples = {
                 "train": [_fs_sample(ci) for ci in range(way)
                           for _ in range(shot)],
@@ -369,6 +370,8 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
         for syn, cat in synsets.items():
             f.write(f"{cat}\t{syn}\n")
     files = {"train": [], "val": [], "test": []}
+    radii = np.array([0.35, 0.65, 0.95, 1.25])   # per-part local cues
+    sigma = np.array([0.02, 0.05, 0.09, 0.14])   # (see comment below)
     for syn in synsets:
         os.makedirs(os.path.join(sp, syn), exist_ok=True)
         for i in range(n_train + n_test):
@@ -385,8 +388,6 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
                 # floor.  Radius ordering and relative density both survive
                 # pc_normalize and the scale/translate augmentations.)
                 centers = _spread_centers(rng, 4)
-                radii = np.array([0.35, 0.65, 0.95, 1.25])
-                sigma = np.array([0.02, 0.05, 0.09, 0.14])
                 which = rng.integers(0, 4, npoints)
                 xyz = (centers[which] * radii[which][:, None]
                        + sigma[which][:, None]

@@ -133,11 +133,10 @@ def dp_eval_jit(step_fn, mesh: Mesh, n_batch: int = 1, n_extra: int = 0):
             # the 'data'-sharded jit then rejects it ("Sharding passed to
             # jit does not match...") instead of sharding it. Uncommitted
             # numpy inputs let the jit place them per in_shardings.
+            hosted = [np.asarray(b) for b in batch]
             batch = tuple(
-                np.concatenate(
-                    [np.asarray(b),
-                     np.repeat(np.asarray(b)[-1:], n_pad - n, axis=0)], 0)
-                for b in batch)
+                np.concatenate([h, np.repeat(h[-1:], n_pad - n, axis=0)], 0)
+                for h in hosted)
         # run under THIS mesh's context: the runner installs the global
         # mesh via jax.set_mesh, but multi-host eval uses the per-process
         # local_eval_mesh — a mismatched context mesh fails the jit with
