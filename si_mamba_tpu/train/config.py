@@ -40,6 +40,15 @@ def merge_new_config(config: dict, new_config: dict, base_dir: str = ".") -> dic
     a ``_base_`` key loads the referenced YAML into that subtree first)."""
     for key, val in new_config.items():
         if key == "_base_":
+            # Already a dict when re-reading an experiment's config.yaml
+            # SNAPSHOT (--resume/--auto_resume): save_experiment_config
+            # serializes the RESOLVED subtree, not the file path — merge it
+            # directly (found by tests/test_preemption.py: the relaunch
+            # crashed on every config whose dataset entries use _base_).
+            if isinstance(val, dict):
+                config[key] = ConfigDict()
+                merge_new_config(config[key], val, base_dir)
+                continue
             # candidates: absolute | base_dir-relative | base_dir's parent
             # (repo root when the config lives in cfgs/ — makes the
             # reference's CWD-relative "cfgs/..." refs work from any CWD) |
