@@ -111,7 +111,10 @@ def _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm):
     xdt_dec = (xdt.astype(_F32) * T_end).astype(mm)
     states = lax.dot_general(B, xdt_dec, (((0,), (0,)), ((), ())),
                              preferred_element_type=_F32)     # (n, p)
-    hc[...] = jnp.exp(Send) * h_in + states
+    # rank-0 extract: Mosaic lowers scalar*vector as a splat; a (1,1)
+    # vector broadcast to (n,p) is "broadcast in both sublanes and lanes",
+    # which Mosaic does not implement (BENCH_r03 MosaicError)
+    hc[...] = jnp.exp(sd[0, q - 1]) * h_in + states
     return y, h_in
 
 
@@ -285,9 +288,10 @@ def _bwd_body(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
     dsdt_ref[0, 0, 0] = jnp.concatenate([dS_final, twoT[1:2]], axis=0)
 
     # carry: dh_in = exp(Send) * dh_out + (C * E)^T @ dy  (fp32 operands —
-    # this is the long-range product chain; see dh_out note above)
+    # this is the long-range product chain; see dh_out note above).
+    # Scalar (rank-0) decay factor: see the fwd-kernel Mosaic note.
     Ceff = C.astype(_F32) * E_col
-    dhc[...] = jnp.exp(Send) * dh_out + lax.dot_general(
+    dhc[...] = jnp.exp(sd[0, q - 1]) * dh_out + lax.dot_general(
         Ceff, dy.astype(_F32), (((0,), (0,)), ((), ())),
         preferred_element_type=_F32)
 

@@ -482,3 +482,42 @@ def partseg_logp_torch(sd: dict, cfg, pts: np.ndarray, onehot: np.ndarray,
                       "bns2"))
     h = F.linear(h, t(sd, "convs3.weight"), t(sd, "convs3.bias"))
     return F.log_softmax(h, dim=-1).numpy(), eigvecs
+
+
+def ssd_chunked_torch(x, dt, A, Bm, Cm, D, chunk=128, return_carry=False):
+    """float64 truth for the chunked scalar-decay SSD (ops/ssd.py semantics,
+    itself beyond-reference — no /root/reference counterpart). Used by the
+    on-chip fused-kernel tests to bound BOTH production paths against real
+    math: on TPU, f32 einsums run at bf16 MXU precision, so comparing the
+    two f32 paths against each other at 1e-4 is not a meaningful pin."""
+    b, l, h, p = x.shape
+    n = Bm.shape[-1]
+    nc, q = l // chunk, chunk
+    xh = x.permute(0, 2, 1, 3).reshape(b, h, nc, q, p)
+    dth = dt.permute(0, 2, 1).reshape(b, h, nc, q)
+    Bc = Bm.reshape(b, nc, q, n)
+    Cc = Cm.reshape(b, nc, q, n)
+    S = torch.cumsum(dth * A[None, :, None, None], dim=-1)  # (b,h,nc,q)
+    xdt = xh * dth[..., None]
+    logM = S[..., :, None] - S[..., None, :]
+    tri = torch.tril(torch.ones(q, q, dtype=torch.bool))
+    M = torch.exp(torch.where(tri, logM,
+                              torch.tensor(-torch.inf, dtype=x.dtype)))
+    G = torch.einsum("bcqn,bckn->bcqk", Cc, Bc)
+    y_intra = torch.einsum("bhcqk,bhckp->bhcqp", G[:, None] * M, xdt)
+    Send = S[..., -1:]
+    T_end = torch.exp(Send - S)
+    states = torch.einsum("bcqn,bhcqp->bhcnp", Bc, xdt * T_end[..., None])
+    dec = torch.exp(Send[..., 0])                           # (b,h,nc)
+    hs = [torch.zeros(b, h, n, p, dtype=x.dtype)]
+    for c in range(nc):
+        hs.append(dec[:, :, c, None, None] * hs[-1] + states[:, :, c])
+    h_in = torch.stack(hs[:-1], dim=2)                      # (b,h,nc,n,p)
+    y_inter = (torch.einsum("bcqn,bhcnp->bhcqp", Cc, h_in)
+               * torch.exp(S)[..., None])
+    y = (y_intra + y_inter).reshape(b, h, l, p).permute(0, 2, 1, 3)
+    y = y + D[None, None, :, None] * x
+    if return_carry:
+        total_decay = torch.exp(S[..., -1].sum(-1))         # (b,h)
+        return y, total_decay, hs[-1]
+    return y
