@@ -99,30 +99,65 @@ def make_eval_step(model: PointMamba, npoints: int):
 
 
 def make_vote_step(model: PointMamba, npoints: int, rotation: bool,
-                   times: int = 10):
-    """ALL ``times`` vote passes in ONE compiled program: a ``lax.scan`` over
-    per-pass keys, each pass FPS-resample + augmentation + forward, summing
-    logits. The reference dispatches 10 separate forwards per batch
-    (tools/runner_finetune.py:345-406); folding them into one jitted scan
-    removes 9/10 of the dispatch latency — decisive on a tunneled chip where
-    each dispatch pays the relay RTT."""
+                   times: int = 10, pass_batching: bool = False):
+    """ALL ``times`` vote passes in ONE compiled program. The reference
+    dispatches 10 separate forwards per batch (tools/runner_finetune.py
+    :345-406); folding them into one jitted program removes 9/10 of the
+    dispatch latency — decisive on a tunneled chip where each dispatch pays
+    the relay RTT.
+
+    The FPS oversample runs ONCE per batch, outside the passes — exactly
+    the reference's shared ``fps_idx_raw`` (:368): each pass only draws a
+    random npoints-subset of the SAME FPS pool, so per-pass FPS is both
+    off-protocol and wasted work (``fps_resample``'s FPS stage is keyless,
+    so hoisting it leaves every pass's random stream unchanged).
+
+    ``pass_batching=True`` stacks the passes into the BATCH axis — one
+    forward at (B*times) instead of a ``lax.scan`` of ``times`` forwards at
+    B. The pass axis is folded batch-major (B outer, times inner) so a
+    batch dim sharded over the DP mesh keeps each shard's rows contiguous.
+    Eval-mode forwards are per-example, so summed logits match the scan
+    layout to f32-reassociation. Measured on the v5e bench workload
+    (B=32, N=1024, times=10) the forward is already compute-bound at B=32
+    and the stacked layout is ~5% SLOWER (260 vs 248 ms/batch) — the scan
+    stays the default; the option exists for small-B/many-device setups
+    where per-device batch would otherwise fall under one tile."""
 
     def step(state: TrainState, points, rng):
-        def one_pass(acc, k):
-            k_fps, k_aug = jax.random.split(k)
-            pts = transforms.fps_resample(points, k_fps, npoints,
-                                          point_all=_point_all(npoints))
+        B, N = points.shape[0], points.shape[1]
+        pa = _point_all(npoints)
+        if N > pa:
+            from si_mamba_tpu.ops.pointops import fps, gather_points
+
+            pool = gather_points(points, fps(points, pa))
+        else:
+            pool = points
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def prep(k):
+            k_sub, k_aug = jax.random.split(k)
+            pts = transforms.fps_resample(pool, k_sub, npoints,
+                                          point_all=pa)  # subset-only now
             if rotation:
-                pts = transforms.rotate_y(pts, k_aug)
-            else:
-                pts = transforms.scale_and_translate(pts, k_aug)
-            logits = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                pts, train=False)
+                return transforms.rotate_y(pts, k_aug)
+            return transforms.scale_and_translate(pts, k_aug)
+
+        keys = jax.random.split(rng, times)
+        if pass_batching:
+            pts_all = jax.vmap(prep)(keys)            # (times, B, np, 3)
+            pts_all = pts_all.transpose(1, 0, 2, 3).reshape(
+                B * times, npoints, 3)                 # batch-major fold
+            logits = model.apply(variables, pts_all, train=False)
+            return logits.astype(jnp.float32).reshape(
+                B, times, -1).sum(axis=1)
+
+        def one_pass(acc, k):
+            logits = model.apply(variables, prep(k), train=False)
             return acc + logits.astype(jnp.float32), None
 
-        acc0 = jnp.zeros((points.shape[0], model.config.cls_dim), jnp.float32)
-        acc, _ = jax.lax.scan(one_pass, acc0, jax.random.split(rng, times))
+        acc0 = jnp.zeros((B, model.config.cls_dim), jnp.float32)
+        acc, _ = jax.lax.scan(one_pass, acc0, keys)
         return acc
 
     return step

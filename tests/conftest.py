@@ -23,6 +23,19 @@ if os.environ.get("SI_MAMBA_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: XLA:CPU compiles dominate the suite's wall
+# clock (single-core LLVM); caching them makes repeat runs start from disk
+# instead of recompiling, and slashes the per-process LLVM churn behind the
+# intermittent late-suite segfault (see the fixture below). Opt out with
+# SI_MAMBA_TEST_COMPILE_CACHE=0. The 0.5 s threshold keeps thousands of
+# trivial sub-second compiles from paying disk-IO overhead.
+if os.environ.get("SI_MAMBA_TEST_COMPILE_CACHE") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("SI_MAMBA_TEST_COMPILE_CACHE_DIR",
+                       "/tmp/si_mamba_tpu_test_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # Compile-heavy tests (>~30 s each; full-size parity, end-to-end runners,
 # multi-step training) — `pytest -m 'not slow'` is the quick loop (~13 min),

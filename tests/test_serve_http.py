@@ -144,3 +144,133 @@ def test_http_with_real_predictor():
                                        rtol=1e-4, atol=1e-5)
     finally:
         shutdown_server(server)
+
+
+def test_http_stress_concurrent_clients_deadline_histogram():
+    """Sustained contention: 16 clients x 8 requests against a fn with a
+    simulated dispatch cost. Every request must succeed with ITS OWN answer
+    (no cross-request mixups under coalescing), the deadline histogram must
+    stay bounded, and the batcher must actually coalesce under load
+    (mean batch > 1.5) — the coalescing path under contention, not just the
+    single-burst case above."""
+    import time
+
+    def fn(batch):  # echo each cloud's checksum; 5 ms simulated chip step
+        time.sleep(0.005)
+        return np.tile(batch.sum(axis=(1, 2))[:, None], (1, 2))
+
+    server, url = _start(fn, max_batch=16, max_delay_ms=3)
+    n_clients, n_reqs = 16, 8
+    lat = np.zeros((n_clients, n_reqs))
+    errs = []
+
+    def client(ci):
+        rng = np.random.default_rng(ci)
+        for ri in range(n_reqs):
+            cloud = rng.standard_normal((8, 3)).astype(np.float32)
+            t0 = time.monotonic()
+            try:
+                r = _post(url, _npy_bytes(cloud), "application/octet-stream")
+                lat[ci, ri] = time.monotonic() - t0
+                np.testing.assert_allclose(r["probs"][0], cloud.sum(),
+                                           rtol=1e-4)
+            except Exception as e:  # noqa: BLE001 - collected for the assert
+                errs.append((ci, ri, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        wall = time.monotonic() - t0
+        assert not errs, errs[:5]
+
+        b = server.RequestHandlerClass.batcher
+        assert b.n_requests == n_clients * n_reqs
+        assert b.mean_batch_size > 1.5, (
+            f"no coalescing under contention: {b.mean_batch_size:.2f} "
+            f"over {b.n_batches} batches")
+        # deadline histogram: single-threaded CI boxes schedule 16 client
+        # threads unfairly, so bound the TAIL, not the mean
+        p50, p99 = np.percentile(lat, [50, 99])
+        assert p99 < 30.0, f"p99 {p99:.2f}s (p50 {p50:.3f}s, wall {wall:.1f}s)"
+    finally:
+        shutdown_server(server)
+
+
+def test_http_malformed_n_isolated_from_good_traffic():
+    """A client sending an unsupported N gets its OWN 500 (the Predictor
+    contract: unexpected N raises rather than recompiling) while concurrent
+    good-N clients are unaffected — pins the MicroBatcher's N-isolation:
+    a bad-N request must never poison a coalesced batch of good ones."""
+    GOOD_N = 16
+
+    def fn(batch):  # mimics Predictor.logits' strict-N contract
+        if batch.shape[1] != GOOD_N:
+            raise ValueError(f"request has {batch.shape[1]} points but the "
+                             f"predictor was compiled for ({GOOD_N},)")
+        return np.tile(batch.sum(axis=(1, 2))[:, None], (1, 2))
+
+    server, url = _start(fn, max_batch=8, max_delay_ms=20)
+    results, codes = {}, {}
+
+    def good(i):
+        cloud = np.full((GOOD_N, 3), float(i + 1), np.float32)
+        results[i] = _post(url, _npy_bytes(cloud), "application/octet-stream")
+
+    def bad():
+        try:
+            _post(url, _npy_bytes(np.zeros((GOOD_N + 1, 3), np.float32)),
+                  "application/octet-stream")
+            codes["bad"] = 200
+        except urllib.error.HTTPError as e:
+            codes["bad"] = e.code
+            codes["msg"] = json.loads(e.read())["error"]
+
+    try:
+        threads = [threading.Thread(target=good, args=(i,)) for i in range(4)]
+        threads.append(threading.Thread(target=bad))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+
+        assert codes["bad"] == 500 and "ValueError" in codes["msg"]
+        for i in range(4):
+            np.testing.assert_allclose(results[i]["probs"][0],
+                                       GOOD_N * 3 * (i + 1), rtol=1e-4)
+    finally:
+        shutdown_server(server)
+
+
+def test_http_oversized_body_rejected():
+    """Content-Length past MAX_BODY answers 400 up front — the server must
+    not try to buffer an arbitrarily large declared body."""
+    import socket
+
+    from si_mamba_tpu.serve_http import MAX_BODY
+
+    server, url = _start(lambda b: b.sum(axis=(1, 2))[:, None], max_batch=2,
+                         max_delay_ms=1)
+    try:
+        host, port = server.server_address
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall((f"POST /predict HTTP/1.1\r\nHost: {host}\r\n"
+                       f"Content-Type: application/octet-stream\r\n"
+                       f"Content-Length: {MAX_BODY + 1}\r\n\r\n").encode())
+            # a few bytes of body so the server sees a started request
+            s.sendall(b"\x93NUMPY")
+            reply = s.recv(4096).decode()
+        assert reply.startswith("HTTP/1.0 400") or "400" in reply.split("\r\n")[0], reply
+        assert "Content-Length" in reply or "bad" in reply.lower()
+        # zero/missing Content-Length is rejected the same way
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall((f"POST /predict HTTP/1.1\r\nHost: {host}\r\n"
+                       f"Content-Length: 0\r\n\r\n").encode())
+            reply = s.recv(4096).decode()
+        assert "400" in reply.split("\r\n")[0], reply
+    finally:
+        shutdown_server(server)

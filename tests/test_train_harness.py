@@ -357,6 +357,39 @@ def test_vote_step_in_graph_matches_eager_loop():
             p, train=False), np.float32)
     np.testing.assert_allclose(np.asarray(acc), expect, rtol=2e-5, atol=2e-5)
 
+    # the scan layout must agree with the (default) pass-batched layout —
+    # eval-mode forwards are per-example, so folding passes into the batch
+    # axis only reassociates the f32 logit sum
+    acc_scan = jax.jit(make_vote_step(model, 1024, rotation=False,
+                                      times=times, pass_batching=False))(
+        state, pts, rng)
+    np.testing.assert_allclose(np.asarray(acc_scan), np.asarray(acc),
+                               rtol=2e-5, atol=2e-5)
+
+    # N > point_all engages the shared FPS pool (the reference's
+    # fps_idx_raw, tools/runner_finetune.py:368: FPS once per batch,
+    # every pass subsets it) — pin against an eager replica of exactly
+    # that protocol
+    pts_big = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 1600, 3))
+        .astype(np.float32))
+    acc_big = jax.jit(make_vote_step(model, 1024, rotation=False,
+                                     times=times))(state, pts_big, rng)
+    from si_mamba_tpu.ops.pointops import fps, gather_points
+
+    pool = gather_points(pts_big, fps(pts_big, _point_all(1024)))
+    expect_big = np.zeros((2, 4), np.float32)
+    for k in jax.random.split(rng, times):
+        k_sub, k_aug = jax.random.split(k)
+        p = transforms.fps_resample(pool, k_sub, 1024,
+                                    point_all=_point_all(1024))
+        p = transforms.scale_and_translate(p, k_aug)
+        expect_big += np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            p, train=False), np.float32)
+    np.testing.assert_allclose(np.asarray(acc_big), expect_big,
+                               rtol=2e-5, atol=2e-5)
+
 
 def test_deferred_meters_matches_eager_updates():
     """DeferredMeters (lag-1 device readback) must produce the exact same
