@@ -4,20 +4,33 @@ The XLA path (``ops/ssd.ssd_chunked``) materializes every stage of the
 chunked recurrence in HBM: xdt, the (b,h,nc,q,q) decay-masked attention
 tensor GM, per-chunk states, y_intra, y_inter. ROOFLINE.md measures that
 step HBM-bound (~18 ms floor of a 62.9 ms step). This kernel keeps one
-(q,·) chunk of everything in VMEM per grid step and threads the (n,p)
-inter-chunk state through scratch, so per layer the SSD core touches HBM
+(q,·) chunk of everything in VMEM per grid step and threads the (h,n,p)
+inter-chunk states through scratch, so per layer the SSD core touches HBM
 only for its true inputs/outputs (x, dt, S, B, C in; y + the per-chunk
 entry states out).
 
 Layout (production geometry q = n = p = 128 — every contraction is one
 full (8,128)-tile 128x128 MXU matmul):
-- grid = (b, h, nc); the chunk axis is innermost so TPU's sequential grid
-  iteration threads the state carry through VMEM scratch (reset at chunk 0
-  via @pl.when), exactly like the Mamba-1 scan kernel in
-  selective_scan_kernel.py;
-- x arrives head-major (b,h,nc,q,p); B/C are shared across heads
-  (b,nc,q,n) — their index maps simply ignore the h grid axis;
-- dt and the per-chunk decay cumsum S ride ONE (b,h,nc,2,q) operand and
+
+- grid = (b, nc): ONE grid step processes ALL heads of one chunk (an
+  in-kernel static loop over head slices). The chunk axis is innermost so
+  TPU's sequential grid iteration threads the (h, n, p) state carry
+  through VMEM scratch (reset at chunk 0 via @pl.when), exactly like the
+  Mamba-1 scan kernel in selective_scan_kernel.py.
+- x and y stay in the model's NATIVE (b, l, h*p) layout end-to-end: the
+  (1, q, h*p) block is fully contiguous in HBM (1536-byte rows at the
+  production geometry), so the kernel neither materializes a head-major
+  transpose (an earlier wrapper design — ~25 MB relayout per tensor per
+  layer) nor pays strided 256-byte-row DMAs (a per-head-grid design —
+  measured SLOWER than the transposes it removed).
+- B/C are shared across heads (b,nc,q,n): with heads in-kernel they are
+  DMA'd ONCE per chunk instead of once per (head, chunk) — h x fewer
+  reads — and the head-shared G = C @ B^T attention matmul is hoisted out
+  of the head loop entirely.
+- The backward accumulates the head-shared dB/dC partials in VMEM
+  registers and writes (b,nc,q,n) — h x less HBM write traffic than
+  per-head partials plus it absorbs the XLA sum-over-heads reduction.
+- dt and the per-chunk decay cumsum S ride ONE (b,nc,h,2,q) operand and
   are transposed to (q,2) columns in-register (a single small relayout
   instead of two 1-D lane->sublane transposes);
 - decay math fp32, matmul operands cast to the activation dtype (bf16 in
@@ -27,11 +40,15 @@ full (8,128)-tile 128x128 MXU matmul):
 Backward (custom VJP) iterates chunks in REVERSE grid order, recomputes
 the in-chunk decay mask from S, runs the reverse state recurrence
   dh_in[c] = exp(S_end[c]) * dh_out[c] + (C * exp(S))^T @ dy[c]
-through scratch, and emits dense dx plus per-(b,h,nc) partials for
-dt/S/B/C that a cheap XLA reduction finishes (B/C are head-shared, so
-their per-head partials sum over h outside). All A-dependence flows
-through S = cumsum(dt*A), which the wrapper computes OUTSIDE the
-custom_vjp boundary — autodiff chains dS -> (ddt, dA) for free.
+through scratch, and emits dense dx plus per-(b,nc,h) partials for dt/S
+that a cheap XLA reduction finishes. All A-dependence flows through
+S = cumsum(dt*A), which the wrapper computes OUTSIDE the custom_vjp
+boundary — autodiff chains dS -> (ddt, dA) for free.
+
+Scalar decay factors use rank-0 extraction (``sd[0, q-1]``): Mosaic
+lowers scalar*vector as a splat, while a (1,1) vector broadcast to (n,p)
+is "broadcast in both sublanes and lanes" — not implemented (the
+BENCH_r03 MosaicError).
 
 No reference counterpart (the reference is Mamba-1 only); this implements
 the SSD math of ops/ssd.py, which is itself beyond-reference and opt-in.
@@ -72,107 +89,106 @@ def _decay_mask(S_col, S_row):
     return jnp.exp(jnp.where(_tri(q), logM, -jnp.inf))
 
 
+def _head_sd(sd_ref, j):
+    """Per-head decay columns from the (1,1,h,2,q) SD block: returns
+    (S_col, dt_col, S_row, Send, send_scalar)."""
+    sd = sd_ref[0, 0, j].astype(_F32)           # (2, q): rows [S; dt]
+    sdT = sd.T                                   # (q, 2)
+    S_col, dt_col = sdT[:, 0:1], sdT[:, 1:2]     # (q, 1)
+    S_row = sd[0:1, :]                           # (1, q)
+    q = S_row.shape[1]
+    Send = sd[0:1, q - 1:q]                      # (1, 1)
+    return S_col, dt_col, S_row, Send, sd[0, q - 1]
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm):
-    """Shared forward body: returns (y, h_in) and advances the carry."""
-    c = pl.program_id(2)
-
-    @pl.when(c == 0)
-    def _():
-        hc[...] = jnp.zeros_like(hc)
-
-    sd = sd_ref[0, 0, 0].astype(_F32)          # (2, q): rows [S; dt]
-    sdT = sd.T                                  # (q, 2)
-    S_col, dt_col = sdT[:, 0:1], sdT[:, 1:2]    # (q, 1)
-    S_row = sd[0:1, :]                          # (1, q)
-    q = S_row.shape[1]
-    Send = sd[0:1, q - 1:q]                     # (1, 1)
-
-    x = x_ref[0, 0, 0]                          # (q, p) mm dtype
-    B = b_ref[0, 0]                             # (q, n)
-    C = c_ref[0, 0]
-
-    xdt = (x.astype(_F32) * dt_col).astype(mm)
-    G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
-                        preferred_element_type=_F32)          # (q, q)
-    GM = (G * _decay_mask(S_col, S_row)).astype(mm)
-    y_intra = lax.dot_general(GM, xdt, (((1,), (0,)), ((), ())),
-                              preferred_element_type=_F32)    # (q, p)
-
-    h_in = hc[...]                              # (n, p) f32
-    y_inter = lax.dot_general(C, h_in.astype(mm), (((1,), (0,)), ((), ())),
-                              preferred_element_type=_F32)
-    y = y_intra + y_inter * jnp.exp(S_col)
-
-    T_end = jnp.exp(Send - S_col)               # (q, 1)
-    xdt_dec = (xdt.astype(_F32) * T_end).astype(mm)
-    states = lax.dot_general(B, xdt_dec, (((0,), (0,)), ((), ())),
-                             preferred_element_type=_F32)     # (n, p)
-    # rank-0 extract: Mosaic lowers scalar*vector as a splat; a (1,1)
-    # vector broadcast to (n,p) is "broadcast in both sublanes and lanes",
-    # which Mosaic does not implement (BENCH_r03 MosaicError)
-    hc[...] = jnp.exp(sd[0, q - 1]) * h_in + states
-    return y, h_in
-
-
-def _make_fwd_kernel(emit_states, emit_hfin, mm):
+def _make_fwd_kernel(h, p, emit_states, emit_hfin, mm):
     def kernel(sd_ref, x_ref, b_ref, c_ref, *outs_scratch):
         refs = list(outs_scratch)
-        hc = refs.pop()  # VMEM scratch is last
-        y, h_in = _fwd_compute(sd_ref, x_ref, b_ref, c_ref, hc, mm)
-        i = 0
-        refs[i][0, 0, 0] = y.astype(refs[i].dtype)
-        if emit_states:
-            i += 1
-            refs[i][0, 0, 0] = h_in
+        hc = refs.pop()                          # VMEM scratch (h, n, p) f32
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            hc[...] = jnp.zeros_like(hc)
+
+        B = b_ref[0, 0]                          # (q, n) mm dtype
+        C = c_ref[0, 0]
+        # head-shared attention scores — ONE matmul for all heads
+        G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
+                            preferred_element_type=_F32)       # (q, q)
+        for j in range(h):
+            S_col, dt_col, S_row, _, send = _head_sd(sd_ref, j)
+            x = x_ref[0][:, j * p:(j + 1) * p]   # (q, p) mm dtype
+            xdt = (x.astype(_F32) * dt_col).astype(mm)
+            GM = (G * _decay_mask(S_col, S_row)).astype(mm)
+            y_intra = lax.dot_general(GM, xdt, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=_F32)  # (q, p)
+            h_in = hc[j]                         # (n, p) f32
+            y_inter = lax.dot_general(C, h_in.astype(mm),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=_F32)
+            y = y_intra + y_inter * jnp.exp(S_col)
+
+            T_end = jnp.exp(send - S_col)        # (q, 1)
+            xdt_dec = (xdt.astype(_F32) * T_end).astype(mm)
+            states = lax.dot_general(B, xdt_dec, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=_F32)   # (n, p)
+            hc[j] = jnp.exp(send) * h_in + states
+            refs[0][0, :, j * p:(j + 1) * p] = y.astype(refs[0].dtype)
+            if emit_states:
+                refs[1][0, 0, j] = h_in
         if emit_hfin:
-            i += 1
-            # same (b,h) block every chunk, c innermost: the LAST write
+            # same (b,) block every chunk, c innermost: the LAST write
             # (the slice's final state) is what lands in HBM
-            refs[i][0, 0] = hc[...]
+            refs[1 + bool(emit_states)][0] = hc[...]
     return kernel
 
 
 def _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True, emit_hfin=False):
-    """``emit_states=False`` (inference / undifferentiated primal) skips the
-    (b,h,nc,n,p) fp32 per-chunk-state output — XLA cannot DCE a custom-call
-    output, and at production geometry it is ~50 MB of pure HBM write per
-    layer that only the backward reads. ``emit_hfin`` adds the slice-final
-    (b,h,n,p) state (sequence parallelism's carry)."""
-    b, h, nc, q, p = x.shape
+    """``x`` is the NATIVE (b, l, h*p) sequence layout; ``SD`` is
+    (b, nc, h, 2, q). ``emit_states=False`` (inference / undifferentiated
+    primal) skips the (b,nc,h,n,p) fp32 per-chunk-state output — XLA
+    cannot DCE a custom-call output, and at production geometry it is
+    ~50 MB of pure HBM write per layer that only the backward reads.
+    ``emit_hfin`` adds the slice-final (b,h,n,p) state (sequence
+    parallelism's carry)."""
+    b, nc, h, _, q = SD.shape
     n = Bc.shape[-1]
+    d = x.shape[-1]
+    p = d // h
     mm = x.dtype
-    grid = (b, h, nc)
-    blk5 = lambda i, j, c: (i, j, c, 0, 0)
-    blk_bc = lambda i, j, c: (i, c, 0, 0)
-    blk_bh = lambda i, j, c: (i, j, 0, 0)
-    out_specs = [pl.BlockSpec((1, 1, 1, q, p), blk5, memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype)]
+    grid = (b, nc)
+    blk_sd = lambda i, c: (i, c, 0, 0, 0)
+    blk_x = lambda i, c: (i, c, 0)
+    blk_bc = lambda i, c: (i, c, 0, 0)
+    blk_b = lambda i, c: (i, 0, 0, 0)
+    out_specs = [pl.BlockSpec((1, q, d), blk_x, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
     if emit_states:
-        out_specs.append(pl.BlockSpec((1, 1, 1, n, p), blk5,
+        out_specs.append(pl.BlockSpec((1, 1, h, n, p), blk_sd,
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, h, nc, n, p), _F32))
+        out_shape.append(jax.ShapeDtypeStruct((b, nc, h, n, p), _F32))
     if emit_hfin:
-        out_specs.append(pl.BlockSpec((1, 1, n, p), blk_bh,
+        out_specs.append(pl.BlockSpec((1, h, n, p), blk_b,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, h, n, p), _F32))
     out = pl.pallas_call(
-        _make_fwd_kernel(emit_states, emit_hfin, mm),
+        _make_fwd_kernel(h, p, emit_states, emit_hfin, mm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 2, q), blk5, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, q, p), blk5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, 2, q), blk_sd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, d), blk_x, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, q, n), blk_bc, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, q, n), blk_bc, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((n, p), _F32)],
+        scratch_shapes=[pltpu.VMEM((h, n, p), _F32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(SD, x, Bc, Cc)
     out = list(out) if isinstance(out, (list, tuple)) else [out]
@@ -186,195 +202,212 @@ def _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True, emit_hfin=False):
 # backward
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(seed, mm):
+def _make_bwd_kernel(h, p, seed, mm):
     """``seed=True`` takes an extra (b,h,n,p) input — the cotangent of the
     slice-final state (return_carry path) — to seed the reverse carry;
     ``seed=False`` starts it at zero without paying that input's HBM reads."""
     if seed:
         def kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref, dhf_ref,
                    dx_ref, dsdt_ref, db_ref, dc_ref, dhc):
-            @pl.when(pl.program_id(2) == 0)
+            @pl.when(pl.program_id(1) == 0)
             def _():
-                dhc[...] = dhf_ref[0, 0]  # dL/dh_out of the LAST chunk
+                dhc[...] = dhf_ref[0]  # dL/dh_out of the LAST chunk
 
-            _bwd_body(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+            _bwd_body(h, p, sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
                       dx_ref, dsdt_ref, db_ref, dc_ref, dhc, mm)
     else:
         def kernel(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
                    dx_ref, dsdt_ref, db_ref, dc_ref, dhc):
-            @pl.when(pl.program_id(2) == 0)
+            @pl.when(pl.program_id(1) == 0)
             def _():
                 dhc[...] = jnp.zeros_like(dhc)
 
-            _bwd_body(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+            _bwd_body(h, p, sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
                       dx_ref, dsdt_ref, db_ref, dc_ref, dhc, mm)
     return kernel
 
 
-def _bwd_body(sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
+def _bwd_body(h, p, sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
               dx_ref, dsdt_ref, db_ref, dc_ref, dhc, mm):
-    sd = sd_ref[0, 0, 0].astype(_F32)
-    sdT = sd.T
-    S_col, dt_col = sdT[:, 0:1], sdT[:, 1:2]
-    S_row = sd[0:1, :]
-    q = S_row.shape[1]
-    Send = sd[0:1, q - 1:q]
-    E_col = jnp.exp(S_col)
-    T_end = jnp.exp(Send - S_col)
-
-    x = x_ref[0, 0, 0]
     B = b_ref[0, 0]
     C = c_ref[0, 0]
-    h_in = hin_ref[0, 0, 0]                     # (n, p) f32
-    dy = dy_ref[0, 0, 0]                        # (q, p) mm
-    # the reverse state carry stays fp32 through every product it enters —
-    # the XLA oracle's mixed bf16*f32 einsums promote to f32 there, and
-    # bf16-rounding dh measurably degrades the dt grads (cancellation in
-    # the dS sums amplifies the 0.4% rounding to ~30% on a few elements)
-    dh_out = dhc[...]                           # (n, p) f32
-
-    x32 = x.astype(_F32)
-    xdt32 = x32 * dt_col
-    xdt = xdt32.astype(mm)
+    q, n = B.shape
+    # head-shared scores, hoisted exactly like the forward
     G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
                         preferred_element_type=_F32)
-    M = _decay_mask(S_col, S_row)
-    GM = G * M                                  # (q,q) f32, zero off-tril
+    # head-shared dB/dC accumulate in registers; ONE (q,n) write each
+    dB_acc = jnp.zeros((q, n), _F32)
+    dC_acc = jnp.zeros((q, n), _F32)
+    for j in range(h):
+        S_col, dt_col, S_row, Send, send = _head_sd(sd_ref, j)
+        E_col = jnp.exp(S_col)
+        T_end = jnp.exp(send - S_col)
 
-    # dxdt = GM^T @ dy + (B @ dh_out) * T_end
-    t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
-                         preferred_element_type=_F32)          # (q, p)
-    Bdh = lax.dot_general(B.astype(_F32), dh_out, (((1,), (0,)), ((), ())),
-                          preferred_element_type=_F32)         # (q, p)
-    dxdt = t1 + Bdh * T_end
-    dx_ref[0, 0, 0] = (dxdt * dt_col).astype(dx_ref.dtype)
-    ddt_col = jnp.sum(dxdt * x32, axis=1, keepdims=True)       # (q, 1)
+        x = x_ref[0][:, j * p:(j + 1) * p]       # (q, p) mm
+        h_in = hin_ref[0, 0, j]                  # (n, p) f32
+        dy = dy_ref[0][:, j * p:(j + 1) * p]     # (q, p) mm
+        # the reverse state carry stays fp32 through every product it
+        # enters — the XLA oracle's mixed bf16*f32 einsums promote to f32
+        # there, and bf16-rounding dh measurably degrades the dt grads
+        # (cancellation in the dS sums amplifies the 0.4% rounding to
+        # ~30% on a few elements)
+        dh_out = dhc[j]                          # (n, p) f32
 
-    # dGM = dy @ xdt^T ; dG = dGM * M ; dlogM = dGM * GM
-    dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
-                          preferred_element_type=_F32)         # (q_t, q_s)
-    dG = dGM * M
-    dlogM = dGM * GM
+        x32 = x.astype(_F32)
+        xdt32 = x32 * dt_col
+        xdt = xdt32.astype(mm)
+        M = _decay_mask(S_col, S_row)
+        GM = G * M                               # (q,q) f32, zero off-tril
 
-    # dC = dG @ B + (dy @ h_in^T) * E ;  dB = dG^T @ C + xdt_dec @ dh_out^T
-    h_mm = h_in.astype(mm)
-    dC = (lax.dot_general(dG.astype(mm), B, (((1,), (0,)), ((), ())),
-                          preferred_element_type=_F32)
-          + lax.dot_general(dy, h_mm, (((1,), (1,)), ((), ())),
-                            preferred_element_type=_F32) * E_col)
-    xdt_dec = xdt.astype(_F32) * T_end  # bf16-rounded xdt (matches fwd) f32
-    dB = (lax.dot_general(dG.astype(mm), C, (((0,), (0,)), ((), ())),
-                          preferred_element_type=_F32)
-          + lax.dot_general(xdt_dec, dh_out, (((1,), (1,)), ((), ())),
-                            preferred_element_type=_F32))
-    db_ref[0, 0, 0] = dB
-    dc_ref[0, 0, 0] = dC
+        # dxdt = GM^T @ dy + (B @ dh_out) * T_end
+        t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
+                             preferred_element_type=_F32)          # (q, p)
+        Bdh = lax.dot_general(B.astype(_F32), dh_out,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=_F32)         # (q, p)
+        dxdt = t1 + Bdh * T_end
+        dx_ref[0, :, j * p:(j + 1) * p] = (dxdt * dt_col).astype(dx_ref.dtype)
+        ddt_col = jnp.sum(dxdt * x32, axis=1, keepdims=True)       # (q, 1)
 
-    # dS: mask rows/cols + exp(S) factor + T_end + chunk-decay terms
-    Chin = lax.dot_general(C, h_mm, (((1,), (0,)), ((), ())),
-                           preferred_element_type=_F32)        # (q, p)
-    dE = jnp.sum(dy.astype(_F32) * Chin, axis=1, keepdims=True)
-    dT = jnp.sum(Bdh * xdt32, axis=1, keepdims=True)           # (q, 1)
-    dS_col = (jnp.sum(dlogM, axis=1, keepdims=True)            # t-row sums
-              + dE * E_col - dT * T_end)
-    dS_row_neg = jnp.sum(dlogM, axis=0, keepdims=True)         # s-col sums
-    dSend = (jnp.sum(dT * T_end) +
-             jnp.exp(Send[0, 0]) * jnp.sum(dh_out * h_in))     # scalar
+        # dGM = dy @ xdt^T ; dG = dGM * M ; dlogM = dGM * GM
+        dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
+                              preferred_element_type=_F32)         # (q_t, q_s)
+        dG = dGM * M
+        dlogM = dGM * GM
 
-    two = jnp.concatenate([dS_col, ddt_col], axis=1)           # (q, 2)
-    twoT = two.T                                               # (2, q)
-    is_end = (lax.broadcasted_iota(jnp.int32, (1, q), 1) == q - 1)
-    dS_final = twoT[0:1] - dS_row_neg + jnp.where(is_end, dSend, 0.0)
-    dsdt_ref[0, 0, 0] = jnp.concatenate([dS_final, twoT[1:2]], axis=0)
+        # dC += dG @ B + (dy @ h_in^T) * E ; dB += dG^T @ C + xdt_dec @ dh^T
+        h_mm = h_in.astype(mm)
+        dC_acc += (lax.dot_general(dG.astype(mm), B, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=_F32)
+                   + lax.dot_general(dy, h_mm, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=_F32) * E_col)
+        xdt_dec = xdt.astype(_F32) * T_end  # bf16-rounded xdt (matches fwd)
+        dB_acc += (lax.dot_general(dG.astype(mm), C, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=_F32)
+                   + lax.dot_general(xdt_dec, dh_out, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=_F32))
 
-    # carry: dh_in = exp(Send) * dh_out + (C * E)^T @ dy  (fp32 operands —
-    # this is the long-range product chain; see dh_out note above).
-    # Scalar (rank-0) decay factor: see the fwd-kernel Mosaic note.
-    Ceff = C.astype(_F32) * E_col
-    dhc[...] = jnp.exp(sd[0, q - 1]) * dh_out + lax.dot_general(
-        Ceff, dy.astype(_F32), (((0,), (0,)), ((), ())),
-        preferred_element_type=_F32)
+        # dS: mask rows/cols + exp(S) factor + T_end + chunk-decay terms
+        Chin = lax.dot_general(C, h_mm, (((1,), (0,)), ((), ())),
+                               preferred_element_type=_F32)        # (q, p)
+        dE = jnp.sum(dy.astype(_F32) * Chin, axis=1, keepdims=True)
+        dT = jnp.sum(Bdh * xdt32, axis=1, keepdims=True)           # (q, 1)
+        dS_col = (jnp.sum(dlogM, axis=1, keepdims=True)            # t-row sums
+                  + dE * E_col - dT * T_end)
+        dS_row_neg = jnp.sum(dlogM, axis=0, keepdims=True)         # s-col sums
+        dSend = (jnp.sum(dT * T_end) +
+                 jnp.exp(send) * jnp.sum(dh_out * h_in))           # scalar
+
+        two = jnp.concatenate([dS_col, ddt_col], axis=1)           # (q, 2)
+        twoT = two.T                                               # (2, q)
+        is_end = (lax.broadcasted_iota(jnp.int32, (1, q), 1) == q - 1)
+        dS_final = twoT[0:1] - dS_row_neg + jnp.where(is_end, dSend, 0.0)
+        dsdt_ref[0, 0, j] = jnp.concatenate([dS_final, twoT[1:2]], axis=0)
+
+        # carry: dh_in = exp(Send) * dh_out + (C * E)^T @ dy  (fp32
+        # operands — this is the long-range product chain; see the dh_out
+        # note above). Scalar (rank-0) decay factor: see module docstring.
+        Ceff = C.astype(_F32) * E_col
+        dhc[j] = jnp.exp(send) * dh_out + lax.dot_general(
+            Ceff, dy.astype(_F32), (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32)
+    db_ref[0, 0] = dB_acc
+    dc_ref[0, 0] = dC_acc
 
 
 def _bwd_call(SD, x, Bc, Cc, h_in, dy, interpret, dh_fin=None):
-    b, h, nc, q, p = x.shape
+    """``x``/``dy``/``dx`` ride the native (b, l, h*p) layout (see
+    ``_fwd_call``); the chunk grid axis is REVERSED so the state cotangent
+    threads back through scratch. dB/dC come out head-summed (B/C are
+    head-shared)."""
+    b, nc, h, _, q = SD.shape
     n = Bc.shape[-1]
+    d = x.shape[-1]
+    p = d // h
     mm = x.dtype
-    grid = (b, h, nc)
+    grid = (b, nc)
 
-    def rev(i, j, c):
-        return (i, j, nc - 1 - c, 0, 0)
+    def rev_sd(i, c):
+        return (i, nc - 1 - c, 0, 0, 0)
 
-    def rev_bc(i, j, c):
+    def rev_x(i, c):
+        return (i, nc - 1 - c, 0)
+
+    def rev_bc(i, c):
         return (i, nc - 1 - c, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, 1, 2, q), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, h, 2, q), rev_sd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d), rev_x, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, n, p), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, h, n, p), rev_sd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d), rev_x, memory_space=pltpu.VMEM),
     ]
     inputs = [SD, x, Bc, Cc, h_in, dy]
     if dh_fin is not None:
-        in_specs.append(pl.BlockSpec((1, 1, n, p), lambda i, j, c: (i, j, 0, 0),
+        in_specs.append(pl.BlockSpec((1, h, n, p), lambda i, c: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(dh_fin)
-    dx, dsdt, dBp, dCp = pl.pallas_call(
-        _make_bwd_kernel(dh_fin is not None, mm),
+    dx, dsdt, dB, dC = pl.pallas_call(
+        _make_bwd_kernel(h, p, dh_fin is not None, mm),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, q, p), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 2, q), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, q, n), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, q, n), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, d), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, 2, q), rev_sd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), rev_bc, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, nc, q, p), x.dtype),
-            jax.ShapeDtypeStruct((b, h, nc, 2, q), _F32),
-            jax.ShapeDtypeStruct((b, h, nc, q, n), _F32),
-            jax.ShapeDtypeStruct((b, h, nc, q, n), _F32),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, nc, h, 2, q), _F32),
+            jax.ShapeDtypeStruct((b, nc, q, n), _F32),
+            jax.ShapeDtypeStruct((b, nc, q, n), _F32),
         ],
-        scratch_shapes=[pltpu.VMEM((n, p), _F32)],
+        scratch_shapes=[pltpu.VMEM((h, n, p), _F32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(*inputs)
-    return dx, dsdt, dBp, dCp
+    return dx, dsdt, dB, dC
 
 
 # ---------------------------------------------------------------------------
-# custom-VJP wrapper (head-major chunked operands)
+# custom-VJP wrapper (native-layout chunked operands)
 # ---------------------------------------------------------------------------
+
+def _stack_sd(S, dt):
+    # (b,h,nc,q) x2 -> (b,nc,h,2,q): ~1.6 MB f32 at the bench geometry
+    return jnp.stack([S, dt], axis=-2).transpose(0, 2, 1, 3, 4)
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _ssd_fused(x, dt, S, Bc, Cc, interpret=False):
-    """x (b,h,nc,q,p) activation dtype; dt/S (b,h,nc,q) f32 (S = per-chunk
-    inclusive cumsum of dt*A); Bc/Cc (b,nc,q,n) activation dtype.
-    Returns y (b,h,nc,q,p) in the activation dtype (no D-skip)."""
-    SD = jnp.stack([S, dt], axis=-2)
-    y, _, _ = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=False)
+    """x (b, l, h*p) NATIVE sequence layout, activation dtype; dt/S
+    (b,h,nc,q) f32 (S = per-chunk inclusive cumsum of dt*A); Bc/Cc
+    (b,nc,q,n) activation dtype. Returns y (b, l, h*p) in the activation
+    dtype (no D-skip)."""
+    y, _, _ = _fwd_call(_stack_sd(S, dt), x, Bc, Cc, interpret,
+                        emit_states=False)
     return y
 
 
 def _ssd_fused_fwd(x, dt, S, Bc, Cc, interpret):
-    SD = jnp.stack([S, dt], axis=-2)  # (b,h,nc,2,q) f32
+    SD = _stack_sd(S, dt)  # (b,nc,h,2,q) f32
     y, h_in, _ = _fwd_call(SD, x, Bc, Cc, interpret)
     return y, (SD, x, Bc, Cc, h_in)
 
 
 def _split_bwd(res, dy, interpret, dh_fin=None):
     SD, x, Bc, Cc, h_in = res
-    dx, dsdt, dBp, dCp = _bwd_call(SD, x, Bc, Cc, h_in,
-                                   dy.astype(x.dtype), interpret,
-                                   dh_fin=dh_fin)
-    dS, ddt = dsdt[..., 0, :], dsdt[..., 1, :]
-    # B/C are shared across heads: sum the per-head partials
-    dB = jnp.sum(dBp, axis=1).astype(Bc.dtype)
-    dC = jnp.sum(dCp, axis=1).astype(Cc.dtype)
-    return dx, ddt, dS, dB, dC
+    dx, dsdt, dB, dC = _bwd_call(SD, x, Bc, Cc, h_in,
+                                 dy.astype(x.dtype), interpret,
+                                 dh_fin=dh_fin)
+    # (b,nc,h,2,q) -> (b,h,nc,q) per row; dB/dC already head-summed
+    dS = dsdt[:, :, :, 0].transpose(0, 2, 1, 3)
+    ddt = dsdt[:, :, :, 1].transpose(0, 2, 1, 3)
+    return dx, ddt, dS, dB.astype(Bc.dtype), dC.astype(Cc.dtype)
 
 
 def _ssd_fused_bwd(interpret, res, dy):
@@ -391,14 +424,13 @@ def _ssd_fused_carry(x, dt, S, Bc, Cc, interpret=False):
     reverse state chain in the backward kernel."""
     # Undifferentiated primal (inference): skip the per-chunk-state
     # output the backward would read — XLA cannot DCE a custom-call output.
-    SD = jnp.stack([S, dt], axis=-2)
-    y, _, h_fin = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=False,
-                            emit_hfin=True)
+    y, _, h_fin = _fwd_call(_stack_sd(S, dt), x, Bc, Cc, interpret,
+                            emit_states=False, emit_hfin=True)
     return y, h_fin
 
 
 def _ssd_fused_carry_fwd(x, dt, S, Bc, Cc, interpret):
-    SD = jnp.stack([S, dt], axis=-2)
+    SD = _stack_sd(S, dt)
     y, h_in, h_fin = _fwd_call(SD, x, Bc, Cc, interpret, emit_states=True,
                                emit_hfin=True)
     return (y, h_fin), (SD, x, Bc, Cc, h_in)
@@ -429,7 +461,11 @@ def ssd_chunked_pallas(x, dt, A, Bm, Cm, D, *, chunk: int = 128,
     assert l % chunk == 0, (l, chunk)
     nc, q = l // chunk, chunk
 
-    xh = x.transpose(0, 2, 1, 3).reshape(b, h, nc, q, p).astype(mm)
+    # (b,l,h,p) -> (b,l,h*p) is a FREE contiguous reshape; the kernel's
+    # head loop slices each head's (q,p) chunk out of the native layout,
+    # so no head-major transpose of the 25 MB activation is materialized
+    # (the dt transpose below is (b,l,h) — ~0.4 MB, noise)
+    xf = x.reshape(b, l, h * p).astype(mm)
     dth = dt.astype(_F32).transpose(0, 2, 1).reshape(b, h, nc, q)
     Bc = Bm.reshape(b, nc, q, n).astype(mm)
     Cc = Cm.reshape(b, nc, q, n).astype(mm)
@@ -438,10 +474,10 @@ def ssd_chunked_pallas(x, dt, A, Bm, Cm, D, *, chunk: int = 128,
     S = jnp.cumsum(dth * A.astype(_F32)[None, :, None, None], axis=-1)
 
     if return_carry:
-        y, h_fin = _ssd_fused_carry(xh, dth, S, Bc, Cc, interpret)
+        y, h_fin = _ssd_fused_carry(xf, dth, S, Bc, Cc, interpret)
     else:
-        y = _ssd_fused(xh, dth, S, Bc, Cc, interpret)
-    y = y.reshape(b, h, l, p).transpose(0, 2, 1, 3).astype(in_dtype)
+        y = _ssd_fused(xf, dth, S, Bc, Cc, interpret)
+    y = y.reshape(b, l, h, p).astype(in_dtype)
     y = y + D[None, None, :, None].astype(in_dtype) * x
     if return_carry:
         # total slice decay: sum of every chunk's last cumsum entry
