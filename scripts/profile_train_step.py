@@ -32,7 +32,7 @@ K_STEPS = 10
 
 
 def capture(tracedir: str, mixer: str = "mamba",
-            scan_impl: str | None = None) -> None:
+            scan_impl: str | None = None, hardest: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -43,6 +43,11 @@ def capture(tracedir: str, mixer: str = "mamba",
 
     B, N = 32, 1024
     kw = {"scan_impl": scan_impl} if scan_impl else {}
+    if hardest:
+        # cfgs/finetune_scan_hardest.yaml geometry: N=2048, G=128, 15-way
+        # (the thinnest perf margin vs the reference GPU — VERDICT r3 #4)
+        N = 2048
+        kw.update(num_group=128, cls_dim=15)
     cfg = PointMambaConfig(dtype="bfloat16", spectral_method="subspace",
                            mixer=mixer, **kw)
     if scan_impl == "ssd_fused":
@@ -209,6 +214,7 @@ def main():
     pretrain = "--pretrain" in sys.argv[1:]
     ssd = "--ssd" in sys.argv[1:]
     ssd_fused = "--ssd-fused" in sys.argv[1:]  # fused Pallas SSD kernel
+    hardest = "--hardest" in sys.argv[1:]  # finetune_scan_hardest geometry
     tracedir = "/tmp/si_mamba_trace"
     # Each start_trace writes a new plugins/profile/<ts>/*.xplane.pb; stale
     # files from earlier runs would be summed by the glob (leaf totals came
@@ -221,7 +227,7 @@ def main():
     else:
         wall_ms = capture(
             tracedir, mixer="ssd" if (ssd or ssd_fused) else "mamba",
-            scan_impl="ssd_fused" if ssd_fused else None)
+            scan_impl="ssd_fused" if ssd_fused else None, hardest=hardest)
     ops, total_ps, wrappers_ps = parse(tracedir)
     rows = sorted(ops.items(), key=lambda kv: -kv[1])
     per_step = lambda ps: ps / 1e9 / K_STEPS  # ps -> ms, amortized
@@ -241,13 +247,22 @@ def main():
             {"op": name[:120], "ms": round(per_step(ps), 4)}
             for name, ps in rows[:60]
         ],
+        # per-category leaders: the global top-60 under-represents diffuse
+        # categories (e.g. many small relayout copies)
+        "top_ops_by_category": {
+            cat: [{"op": name[:120], "ms": round(per_step(ps), 4)}
+                  for name, ps in rows if categorize(name) == cat][:12]
+            for cat in {categorize(n) for n, _ in rows}
+        },
     }
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks",
         "profile_pretrain_step.json" if pretrain
         else "profile_ssd_fused_step.json" if ssd_fused
-        else "profile_ssd_step.json" if ssd else "profile_train_step.json")
+        else "profile_ssd_step.json" if ssd
+        else "profile_hardest_step.json" if hardest
+        else "profile_train_step.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"step_wall_ms": out["step_wall_ms"],

@@ -208,9 +208,23 @@ def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
     head_p = d_inner // n_heads
     z, xbc, dt_raw = jnp.split(
         zxbcdt, [d_inner, 2 * d_inner + 2 * d_state], axis=-1)
-    # joint causal conv + SiLU over (x, B, C) — one depthwise conv
-    xbc = causal_conv1d(xbc, wcast(params["conv_w"]), wcast(params["conv_b"]),
-                        activation="silu")
+    # joint causal conv + SiLU over (x, B, C) — one depthwise conv. Route
+    # through the fused Pallas conv kernel on TPU (same 128-lane gate as
+    # the Mamba-1 mixer, ops/selective_scan.py:275-283): the xbc width
+    # d_inner + 2*d_state is 1024 at the production geometry, and the XLA
+    # shifted-multiply conv is pure HBM-bound glue on a 25 MB tensor.
+    conv_width = xbc.shape[-1]
+    if (impl in ("xla", "ssd_fused") and not _interpret
+            and jax.default_backend() == "tpu" and conv_width % 128 == 0):
+        from si_mamba_tpu.ops.pallas.causal_conv_kernel import (
+            causal_conv1d_silu_pallas,
+        )
+
+        xbc = causal_conv1d_silu_pallas(xbc, params["conv_w"],
+                                        params["conv_b"])
+    else:
+        xbc = causal_conv1d(xbc, wcast(params["conv_w"]),
+                            wcast(params["conv_b"]), activation="silu")
     xm, Bm, Cm = jnp.split(xbc, [d_inner, d_inner + d_state], axis=-1)
 
     dt = jax.nn.softplus(dt_raw.astype(_F32)

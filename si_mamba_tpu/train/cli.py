@@ -139,6 +139,18 @@ def _should_auto_resume(args, snapshot: str) -> bool:
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when a sitecustomize hook pre-imported jax
+    # with a different platform (the axon-tunnel environment does): env
+    # vars are read at import, but jax.config still applies until the
+    # backend is first USED — without this, `JAX_PLATFORMS=cpu python -m
+    # si_mamba_tpu.train.cli ...` (the documented CPU soak recipe) would
+    # silently run on the pre-selected TPU backend.
+    _plat = os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        import jax
+
+        jax.config.update("jax_platforms", _plat)
+
     # Multi-host rendezvous MUST precede any other jax use (reference
     # main.py:53 init_dist before everything); env-gated no-op single-host.
     from si_mamba_tpu.parallel import maybe_initialize_distributed, per_process_batch

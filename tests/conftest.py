@@ -25,10 +25,11 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: XLA:CPU compiles dominate the suite's wall
 # clock (single-core LLVM); caching them makes repeat runs start from disk
-# instead of recompiling, and slashes the per-process LLVM churn behind the
-# intermittent late-suite segfault (see the fixture below). Opt out with
-# SI_MAMBA_TEST_COMPILE_CACHE=0. The 0.5 s threshold keeps thousands of
-# trivial sub-second compiles from paying disk-IO overhead.
+# instead of recompiling (measured: 56 min cold -> 27:42 warm), and slashes
+# the per-process LLVM churn behind the intermittent late-suite segfault
+# (see the fixture below). Opt out with SI_MAMBA_TEST_COMPILE_CACHE=0. The
+# 0.5 s threshold keeps thousands of trivial sub-second compiles from
+# paying disk-IO overhead.
 if os.environ.get("SI_MAMBA_TEST_COMPILE_CACHE") != "0":
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -73,11 +74,15 @@ def _clear_jax_caches_between_modules():
     """Drop compiled-executable caches after each test module.
 
     The full one-process suite (200+ tests, thousands of XLA:CPU
-    compilations) intermittently SEGFAULTS inside LLVM during a late
-    compile (observed twice at the ~90% mark in backend_compile_and_load;
-    the same files pass in isolation or in fresh-process slices — the
-    crash follows accumulated compiler state, not any specific test).
-    Clearing jax's caches at module boundaries bounds that accumulation;
-    per-module recompiles on CPU are cheap relative to the slow tests."""
+    executables) intermittently SEGFAULTS late in the run (observed twice
+    at the ~90% mark in backend_compile_and_load cold; reproduced once
+    with a WARM disk cache when this fixture was gated off — so the crash
+    follows the accumulated in-memory executable state, NOT the LLVM
+    compile count; the same files pass in isolation or in fresh-process
+    slices). Clearing jax's caches at module boundaries bounds that
+    accumulation and has kept every full run green. With the persistent
+    compilation cache above, the post-clear recompiles deserialize from
+    disk, so the fixture's cost on a warm cache is near zero (full suite:
+    56 min cold, 27:42 warm, fixture active in both)."""
     yield
     jax.clear_caches()
