@@ -190,7 +190,7 @@ def main():
     # over the relay took minutes) it is skipped entirely so the extra
     # full-model compile cannot push the whole bench past a driver timeout.
     # Measured warm: 62.9 ms/step = 508.7 clouds/s (ROADMAP round-3).
-    def measure_ssd(scan_impl=None, prefix="ssd"):
+    def measure_ssd(scan_impl=None, prefix="ssd", eval_vote=False):
         import dataclasses as _dc
 
         overrides = {"mixer": "ssd"}
@@ -221,8 +221,47 @@ def main():
             np.asarray(sl)
             slat2.append((time.perf_counter() - t0) / K_STEPS)
         ssd_dt = float(np.median(slat2))
-        return {f"{prefix}_train_step_ms": round(ssd_dt * 1e3, 2),
-                f"{prefix}_clouds_per_sec": round(B / ssd_dt, 2)}
+        out = {f"{prefix}_train_step_ms": round(ssd_dt * 1e3, 2),
+               f"{prefix}_clouds_per_sec": round(B / ssd_dt, 2)}
+        if not eval_vote:
+            return out
+
+        # eval + 10-pass vote on the fastest opt-in config (the vote
+        # protocol is 10 independent stochastic forwards, so vote ≈
+        # eval/10 structurally — these extras record what the fused-SSD
+        # path buys both; VERDICT r3 item 7 context in make_vote_step)
+        sev = {"params": st.params, "batch_stats": st.batch_stats}
+
+        @jax.jit
+        def ssd_eval(v, p):
+            def body(acc, _):
+                logits = ssd_model.apply(v, p + acc * 1e-30, train=False)
+                s = jnp.sum(logits).astype(jnp.float32)
+                return s, s
+
+            return lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))[1]
+
+        np.asarray(ssd_eval(sev, pts))
+        elat2 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(ssd_eval(sev, pts))
+            elat2.append((time.perf_counter() - t0) / K_STEPS)
+        out[f"{prefix}_eval_clouds_per_sec"] = round(
+            B / float(np.median(elat2)), 2)
+
+        svote = jax.jit(make_vote_step(ssd_model, N, rotation=False,
+                                       times=10))
+        np.asarray(svote(st, pts, jax.random.key(7)))
+        vlat2 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(svote(st, pts, jax.random.key(7)))
+            vlat2.append(time.perf_counter() - t0)
+        vdt = float(np.median(vlat2))
+        out[f"{prefix}_vote10_ms_per_batch"] = round(vdt * 1e3, 1)
+        out[f"{prefix}_vote_clouds_per_sec"] = round(B / vdt, 1)
+        return out
 
     if primary_compile_s > 120.0:
         ssd_extra = {"ssd_skipped_cold_cache_compile_s":
@@ -251,7 +290,8 @@ def main():
             ssd_extra["ssd_fused_skipped_elapsed_s"] = round(elapsed_s, 1)
         else:
             try:
-                ssd_extra.update(measure_ssd("ssd_fused", "ssd_fused"))
+                ssd_extra.update(measure_ssd("ssd_fused", "ssd_fused",
+                                             eval_vote=True))
             except Exception as e:  # pragma: no cover - depends on backend
                 ssd_extra["ssd_fused_error"] = f"{type(e).__name__}"
 

@@ -78,6 +78,13 @@ def main():
         out["fwdbwd_speedup"] = round(
             out["xla_fwdbwd_ms_12layer"] / out["pallas_fwdbwd_ms_12layer"], 2)
     print(json.dumps(out, indent=1))
+    import os
+
+    dst = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "ssd_kernel_ab.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print("written:", dst)
 
 
 if __name__ == "__main__":

@@ -407,7 +407,20 @@ def synthetic(root: str, n_train: int, n_test: int, npoints: int, seed: int,
         with open(os.path.join(sp, "train_test_split",
                                f"shuffled_{split}_file_list.json"), "w") as f:
             json.dump(lst, f)
+    with open(os.path.join(root, "SYNTHETIC_FIXTURES.json"), "w") as f:
+        json.dump({"n_train": n_train, "n_test": n_test, "npoints": npoints,
+                   "seed": seed, "learnable": learnable}, f)
     print(f"synthetic datasets written under {root}")
+
+
+def _looks_synthetic(root: str) -> bool:
+    """True when the tree was (at least partly) generated by --synthetic:
+    the sentinel written above, or (for trees generated before the
+    sentinel existed) the synth-named ShapeNet55 point files."""
+    if os.path.isfile(os.path.join(root, "SYNTHETIC_FIXTURES.json")):
+        return True
+    return bool(glob.glob(os.path.join(root, "ShapeNet55-34", "shapenet_pc",
+                                       "*-synth*.npy")))
 
 
 def main():
@@ -431,6 +444,14 @@ def main():
         download(args.root)
     if args.check or not (args.synthetic or args.download):
         ok = check_tree(args.root)
+        synth = _looks_synthetic(args.root)
+        if ok and synth:
+            # Present-but-synthetic is NOT the real-data standing order
+            # being met — report it distinctly (exit 2) so watchers keyed
+            # on rc==0 only fire when the real datasets arrive.
+            print("ALL PRESENT (SYNTHETIC fixtures — the real-data "
+                  "standing order is still open)")
+            sys.exit(2)
         print("ALL PRESENT" if ok else "INCOMPLETE (see [MISSING] lines)")
         sys.exit(0 if ok else 1)
 

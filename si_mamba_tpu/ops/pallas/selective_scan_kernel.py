@@ -366,6 +366,18 @@ def _block_d_for(d, block_d):
     return bd
 
 
+def pallas_scan_supported(d_inner: int, block_d: int = 384) -> bool:
+    """Whether the compiled (non-interpret) kernels can lower for this width.
+
+    Mosaic requires a block's last dim to be a multiple of 128 or equal to
+    the full array dim. ``_block_d_for`` picks the lane block by divisor
+    search, so toy widths (e.g. d_inner=96 -> bd=32) produce un-lowerable
+    blocks; callers ('auto' dispatch) fall back to the chunked XLA scan.
+    """
+    bd = _block_d_for(d_inner, block_d)
+    return bd % 128 == 0 or bd == d_inner
+
+
 def _prep_transposed(u, delta, A, B, C, z, chunk, block_d):
     """Shared pad/transpose/block-size prep for the fwd kernels.
     Returns (u_p, dt_p, Bt, Ct, z_p, At, bd, chunk, L)."""

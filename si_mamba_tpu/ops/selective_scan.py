@@ -196,7 +196,13 @@ def selective_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
         full = (delta_softplus and D is not None and z is not None
                 and delta_bias is not None)
         if full and jax.default_backend() == "tpu":
-            impl = "pallas"
+            from si_mamba_tpu.ops.pallas.selective_scan_kernel import (
+                pallas_scan_supported,
+            )
+
+            # Toy widths (e.g. d_inner=96 in the dev soak configs) produce
+            # lane blocks Mosaic cannot tile — fall back to the XLA scan.
+            impl = "pallas" if pallas_scan_supported(u.shape[-1]) else "chunked"
         else:
             impl = "chunked"
     if impl == "seq":

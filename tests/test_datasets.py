@@ -125,6 +125,10 @@ def test_prepare_data_synthetic_loads_everywhere(tmp_path):
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "ALL PRESENT" in r.stdout, r.stdout + r.stderr
+    # present-but-SYNTHETIC is reported distinctly (exit 2, not 0) so
+    # real-data watchers keyed on rc==0 don't fire on fixture trees
+    assert "SYNTHETIC" in r.stdout and r.returncode == 2, (
+        r.returncode, r.stdout)
 
     mn = root / "ModelNet" / "modelnet40_normal_resampled"
     ds = ModelNet(str(mn), subset="train", npoints=64, num_category=40)

@@ -173,3 +173,21 @@ def test_pallas_causal_conv_matches_oracle():
         for a, b_ in zip(vjp_p(g), vjp_ref(g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_scan_supported_predicate():
+    """'auto' must not route widths the compiled kernel cannot tile to
+    Pallas (Mosaic needs lane blocks %128 or the full dim). d_inner=96 is
+    the dev soak configs' width (trans_dim=48); it picked bd=32 and died
+    with a lowering ValueError on the real chip before the guard."""
+    from si_mamba_tpu.ops.pallas.selective_scan_kernel import (
+        _block_d_for,
+        pallas_scan_supported,
+    )
+
+    assert pallas_scan_supported(768)   # production: bd=384
+    assert pallas_scan_supported(256)   # bd=256
+    assert pallas_scan_supported(64)    # bd == full dim: lowerable
+    assert not pallas_scan_supported(96)   # bd=32: un-lowerable
+    assert not pallas_scan_supported(48)   # bd=16: un-lowerable
+    assert _block_d_for(96, 384) == 32  # documents the failing pick
