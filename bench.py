@@ -196,6 +196,11 @@ def main():
         overrides = {"mixer": "ssd"}
         if scan_impl is not None:
             overrides["scan_impl"] = scan_impl
+        if scan_impl == "ssd_fused":
+            # measured best chunk at this geometry (seq 512): 256-token
+            # chunks 47.1 -> 44.6 ms/step (cfgs/finetune_modelnet_ssd_fused
+            # .yaml carries the same setting + the A/B citation)
+            overrides["ssd_chunk"] = 256
         ssd_model = PointMamba(_dc.replace(cfg, **overrides))
         ssd_vars = ssd_model.init(jax.random.key(0), pts[:2], train=False)
         ssd_tx, _ = build_optimizer(ssd_vars["params"], lr=3e-4, epochs=300,

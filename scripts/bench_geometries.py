@@ -24,15 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _amortized_ms(multi, args, k):
-    import jax
-
     state, losses = multi(*args)
     np.asarray(losses)  # compile + sync (block_until_ready under-reports
-    t0 = time.perf_counter()  # through the axon relay — host readback fences)
-    state, losses = multi(*args)
-    np.asarray(losses)
-    del jax
-    return (time.perf_counter() - t0) / k * 1e3
+    lat = []            # through the axon relay — host readback fences)
+    for _ in range(3):  # median of 3: one relay stall must not become
+        t0 = time.perf_counter()  # the recorded number
+        state, losses = multi(*args)
+        np.asarray(losses)
+        lat.append((time.perf_counter() - t0) / k * 1e3)
+    return float(np.median(lat))
 
 
 def bench_pretrain(impl_mixer) -> float:

@@ -40,6 +40,10 @@ METRIC = {
     "part_segmentation": ("Seg/instance_miou", True),
     "mae_pretrain": ("Loss/Epoch/Loss", False),
 }
+# secondary curves recorded alongside (not used for the best/Δ headline)
+EXTRA_METRICS = {
+    "mae_pretrain": [("Metric/SVM_ACC", True)],
+}
 
 
 def read_curve(path: str, tag: str) -> list[tuple[int, float]]:
@@ -61,17 +65,21 @@ def main() -> None:
     result: dict = {"exp_names": exp_names, "families": {}}
     for (family, variant), cfg in RUNS.items():
         tag, hib = METRIC[family]
-        path = exp = None
+        # of the candidate experiments, keep the LONGEST curve (an
+        # interrupted run under one exp name must not shadow a completed
+        # re-run under another)
+        curve, exp = [], None
         for cand in exp_names:
             p = os.path.join(REPO, "experiments", cfg, cand, "scalars.jsonl")
-            if os.path.exists(p):
-                path, exp = p, cand
-                break
-        if path is None:
+            if not os.path.exists(p):
+                continue
+            c = read_curve(p, tag)
+            if len(c) > len(curve):
+                curve, exp = c, cand
+        if exp is None:
             print(f"MISSING {family}/{variant}: experiments/{cfg}/"
                   f"{{{','.join(exp_names)}}}/scalars.jsonl")
             continue
-        curve = read_curve(path, tag)
         if not curve:
             print(f"EMPTY curve {family}/{variant} tag={tag}")
             continue
@@ -79,7 +87,7 @@ def main() -> None:
         best = max(vals) if hib else min(vals)
         fam = result["families"].setdefault(
             family, {"metric": tag, "higher_is_better": hib, "runs": {}})
-        fam["runs"][variant] = {
+        run = {
             "config": f"cfgs/dev/{cfg}.yaml",
             "exp": exp,
             "backend": "tpu" if exp.endswith("tpu") else "cpu",
@@ -88,6 +96,17 @@ def main() -> None:
             "final": round(vals[-1], 4),
             "curve": [[s, round(v, 4)] for s, v in curve],
         }
+        p = os.path.join(REPO, "experiments", cfg, exp, "scalars.jsonl")
+        for etag, ehib in EXTRA_METRICS.get(family, []):
+            ec = read_curve(p, etag)
+            if ec:
+                evals = [v for _, v in ec]
+                run[etag] = {
+                    "best": round(max(evals) if ehib else min(evals), 4),
+                    "final": round(evals[-1], 4),
+                    "curve": [[s, round(v, 4)] for s, v in ec],
+                }
+        fam["runs"][variant] = run
         print(f"{family:18s} {variant:7s} epochs={curve[-1][0]:3d} "
               f"best={best:.4f} final={vals[-1]:.4f}")
 

@@ -271,6 +271,7 @@ class Block(nn.Module):
     scan_impl: str = "auto"
     tp_axis: Optional[str] = None
     mixer: str = "mamba"  # 'mamba' (reference Mamba-1) | 'ssd' (opt-in MXU)
+    ssd_chunk: int = 128  # SSD chunk length (must divide the padded seq)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -286,7 +287,8 @@ class Block(nn.Module):
         if self.mixer == "ssd":
             h = SSDMixer(self.d_model, out_proj_div=self.out_proj_div,
                          tp_axis=self.tp_axis, scan_impl=self.scan_impl,
-                         dtype=self.dtype, name="mixer")(h)
+                         chunk=self.ssd_chunk, dtype=self.dtype,
+                         name="mixer")(h)
         else:
             h = MambaMixer(self.d_model, out_proj_div=self.out_proj_div,
                            scan_impl=self.scan_impl, tp_axis=self.tp_axis,
@@ -307,6 +309,7 @@ class MixerModel(nn.Module):
     scan_impl: str = "auto"
     tp_axis: Optional[str] = None
     mixer: str = "mamba"
+    ssd_chunk: int = 128
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -319,7 +322,8 @@ class MixerModel(nn.Module):
                 self.d_model, rms_norm=self.rms_norm, norm_eps=self.norm_eps,
                 drop_path=self.drop_path, residual_in_fp32=self.residual_in_fp32,
                 out_proj_div=div, scan_impl=self.scan_impl,
-                tp_axis=self.tp_axis, mixer=self.mixer, dtype=self.dtype,
+                tp_axis=self.tp_axis, mixer=self.mixer,
+                ssd_chunk=self.ssd_chunk, dtype=self.dtype,
                 name=f"layers_{i}",
             )(hidden, residual, deterministic)
             if self.drop_out_in_block > 0:

@@ -77,6 +77,7 @@ class PointMAEConfig:
     # 'mamba' (reference Mamba-1 parity default) | 'ssd' (opt-in MXU-native
     # scalar-decay chunked-matmul mixer, ops/ssd.py — no parity claim)
     mixer: str = "mamba"
+    ssd_chunk: int = 128  # SSD chunk length (see PointMambaConfig.ssd_chunk)
     # 'eigh' exact Gram eigendecomposition; 'jacobi' = exact matmul-only
     # parallel-Jacobi eigh (ops/jacobi.py — TPU perf path, parity-gated)
     wavelet_solver: str = "eigh"
@@ -277,7 +278,7 @@ class PointMAEMamba(nn.Module):
         # ---- encoder over visible tokens ----------------------------------
         x_vis = MixerModel(cfg.trans_dim, cfg.depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           mixer=cfg.mixer, dtype=dtype, name="blocks")(
+                           mixer=cfg.mixer, ssd_chunk=cfg.ssd_chunk, dtype=dtype, name="blocks")(
             x_vis_in, pos_vis_in, deterministic=not train)
         x_vis = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x_vis)
 
@@ -307,7 +308,7 @@ class PointMAEMamba(nn.Module):
         # used by the legacy 'MAMBA' path).
         x_rec = MixerModel(cfg.trans_dim, cfg.decoder_depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           mixer=cfg.mixer, dtype=dtype, name="MAE_decoder")(
+                           mixer=cfg.mixer, ssd_chunk=cfg.ssd_chunk, dtype=dtype, name="MAE_decoder")(
             x_full, pos_full, deterministic=not train)
         x_rec = nn.LayerNorm(epsilon=1e-5, name="decoder_norm", dtype=dtype)(x_rec)
 
@@ -378,7 +379,7 @@ def _append_legacy(cls):
 
         x_vis = MixerModel(C, cfg.depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           mixer=cfg.mixer, dtype=dtype, name="blocks")(
+                           mixer=cfg.mixer, ssd_chunk=cfg.ssd_chunk, dtype=dtype, name="blocks")(
             x_vis, pos_vis, deterministic=not train)
         x_vis = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x_vis)
         if noaug:
@@ -395,7 +396,7 @@ def _append_legacy(cls):
             axis=1)
         x_rec = MixerModel(C, cfg.decoder_depth, rms_norm=cfg.rms_norm,
                            drop_path=cfg.drop_path_rate, scan_impl=cfg.scan_impl,
-                           mixer=cfg.mixer, dtype=dtype, name="MAE_decoder")(
+                           mixer=cfg.mixer, ssd_chunk=cfg.ssd_chunk, dtype=dtype, name="MAE_decoder")(
             x_full, pos_full, deterministic=not train)
         x_rec = nn.LayerNorm(epsilon=1e-5, name="decoder_norm", dtype=dtype)(
             x_rec[:, -n_mask_eff:])

@@ -62,6 +62,11 @@ class PointMambaConfig:
     # 'ssd' = opt-in scalar-decay chunked-matmul mixer (ops/ssd.py) —
     # MXU-native, beyond-reference, NO parity claim
     mixer: str = "mamba"
+    # SSD chunk length (the padded sequence is processed in chunks of this
+    # many tokens; larger chunks amortize per-chunk state I/O — kernel A/B
+    # in benchmarks/ssd_kernel_ab.json — at the cost of more pad waste when
+    # seq_len is not a multiple)
+    ssd_chunk: int = 128
     dtype: str = "float32"
     # tensor parallelism: name of the model mesh axis to shard every mixer's
     # d_inner over (parallel/tensor_parallel.py). Requires running under a
@@ -179,7 +184,8 @@ class PointMamba(nn.Module):
                            drop_path=cfg.drop_path,
                            drop_out_in_block=cfg.drop_out_in_block,
                            scan_impl=cfg.scan_impl, tp_axis=cfg.tp_axis,
-                           mixer=cfg.mixer, dtype=dtype, name="blocks")(
+                           mixer=cfg.mixer, ssd_chunk=cfg.ssd_chunk,
+                           dtype=dtype, name="blocks")(
                 x, pos_seq, deterministic=not train)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)(x)

@@ -61,6 +61,7 @@ class PartSegConfig:
     # 'mamba' (reference Mamba-1 parity default) | 'ssd' (opt-in MXU-native
     # scalar-decay chunked-matmul mixer, ops/ssd.py — no parity claim)
     mixer: str = "mamba"
+    ssd_chunk: int = 128  # SSD chunk length (see PointMambaConfig.ssd_chunk)
     dtype: str = "float32"
 
 
@@ -75,6 +76,7 @@ class MixerModelForSegmentation(nn.Module):
     drop_path: float = 0.0
     scan_impl: str = "auto"
     mixer: str = "mamba"
+    ssd_chunk: int = 128
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,7 +91,8 @@ class MixerModelForSegmentation(nn.Module):
             hidden, residual = Block(
                 self.d_model, rms_norm=self.rms_norm, norm_eps=self.norm_eps,
                 drop_path=self.drop_path, out_proj_div=div,
-                scan_impl=self.scan_impl, mixer=self.mixer, dtype=self.dtype,
+                scan_impl=self.scan_impl, mixer=self.mixer,
+                ssd_chunk=self.ssd_chunk, dtype=self.dtype,
                 name=f"layers_{i}",
             )(hidden, residual, deterministic)
             if i in self.fetch_idx:
@@ -157,7 +160,8 @@ class PartSegModel(nn.Module):
         feats = MixerModelForSegmentation(
             cfg.trans_dim, cfg.depth, fetch_idx=cfg.fetch_idx,
             rms_norm=cfg.rms_norm, drop_path=cfg.drop_path,
-            scan_impl=cfg.scan_impl, mixer=cfg.mixer, dtype=dtype,
+            scan_impl=cfg.scan_impl, mixer=cfg.mixer,
+            ssd_chunk=cfg.ssd_chunk, dtype=dtype,
             name="blocks")(
             x, pos_seq, deterministic=not train)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=dtype)

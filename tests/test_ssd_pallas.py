@@ -219,3 +219,34 @@ def test_sp_fused_route_matches_xla_sp():
     for name, a, b_ in zip("x dt B C".split(), g_f, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
                                    atol=1e-4, err_msg=name)
+
+
+def test_ssd_chunk_config_equivalence():
+    """``ssd_chunk`` is a pure performance knob: the mixer output is
+    chunk-size-invariant (the chunked recurrence computes the same scan
+    for any chunk that divides the padded length). 256 is the measured
+    fast setting at the bench geometry (cfgs/finetune_modelnet_ssd_fused
+    .yaml); this pins that changing it never changes the math."""
+    from si_mamba_tpu.ops.ssd import ssd_mixer_apply
+
+    ks = jax.random.split(jax.random.key(3), 8)
+    d_model, n_heads, d_state = 32, 4, 16
+    d_inner = 2 * d_model
+    params = {
+        "in_proj_w": jax.random.normal(
+            ks[0], (d_model, 2 * d_inner + 2 * d_state + n_heads)) * 0.1,
+        "conv_w": jax.random.normal(ks[1], (d_inner + 2 * d_state, 4)) * 0.1,
+        "conv_b": jax.random.normal(ks[2], (d_inner + 2 * d_state,)) * 0.1,
+        "dt_bias": jax.random.normal(ks[3], (n_heads,)) * 0.1,
+        "A_log": jax.random.normal(ks[4], (n_heads,)) * 0.1,
+        "D": jax.random.normal(ks[5], (n_heads,)) * 0.1,
+        "norm_scale": jnp.ones((d_inner,)),
+        "out_proj_w": jax.random.normal(ks[6], (d_inner, d_model)) * 0.1,
+    }
+    u = jax.random.normal(ks[7], (2, 128, d_model))
+    y64 = ssd_mixer_apply(params, u, n_heads=n_heads, d_state=d_state,
+                          chunk=64)
+    y128 = ssd_mixer_apply(params, u, n_heads=n_heads, d_state=d_state,
+                           chunk=128)
+    np.testing.assert_allclose(np.asarray(y128), np.asarray(y64),
+                               rtol=2e-5, atol=2e-5)
