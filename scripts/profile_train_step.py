@@ -251,7 +251,7 @@ def main():
         # categories (e.g. many small relayout copies)
         "top_ops_by_category": {
             cat: [{"op": name[:120], "ms": round(per_step(ps), 4)}
-                  for name, ps in rows if categorize(name) == cat][:12]
+                  for name, ps in rows if categorize(name) == cat][:40]
             for cat in {categorize(n) for n, _ in rows}
         },
     }

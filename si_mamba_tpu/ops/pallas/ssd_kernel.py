@@ -101,6 +101,17 @@ def _head_sd(sd_ref, j):
     return S_col, dt_col, S_row, Send, sd[0, q - 1]
 
 
+def _head_sd3(sd_ref, j):
+    """Per-head columns from the (1,1,h,3,q) SD block (rows [S; dt; D]):
+    returns (S_col, dt_col, S_row, send_scalar, d_scalar)."""
+    sd = sd_ref[0, 0, j].astype(_F32)            # (3, q)
+    sdT = sd.T                                   # (q, 3)
+    S_col, dt_col = sdT[:, 0:1], sdT[:, 1:2]     # (q, 1)
+    S_row = sd[0:1, :]                           # (1, q)
+    q = S_row.shape[1]
+    return S_col, dt_col, S_row, sd[0, q - 1], sd[2, 0]
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -485,3 +496,271 @@ def ssd_chunked_pallas(x, dt, A, Bm, Cm, D, *, chunk: int = 128,
         total_decay = jnp.exp(S[..., -1].sum(-1))  # (b,h)
         return y, total_decay, h_fin
     return y
+
+
+# ---------------------------------------------------------------------------
+# boundary-fused variant: un-split (x|B|C) operand + in-kernel D-skip
+# ---------------------------------------------------------------------------
+# The mixer's conv emits ONE (b, l, d_inner + 2n) buffer; the split into
+# x/B/C (and the matching pad+concat of their grads) costs ~3-4 ms/step of
+# pure HBM copies at the bench geometry (benchmarks/profile_ssd_fused_step
+# .json: per-layer pad_maximum/split fusions on (32,512,1024) bf16). All
+# three column groups are 128-lane aligned, so the kernel slices them out
+# of one VMEM block and the backward writes dx/dB/dC into disjoint columns
+# of ONE dxbc output. The per-head D-skip (y += D[h]*x) rides the head
+# loop (x is already resident), so the wrapper returns the finished mixer
+# core output with zero extra elementwise passes.
+
+
+def _make_fwd_kernel_xbc(h, p, d, n, emit_states, mm):
+    def kernel(sd_ref, xbc_ref, *outs_scratch):
+        refs = list(outs_scratch)
+        hc = refs.pop()                          # VMEM scratch (h, n, p) f32
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            hc[...] = jnp.zeros_like(hc)
+
+        blk = xbc_ref[0]                         # (q, d + 2n) mm dtype
+        B = blk[:, d:d + n]                      # (q, n)
+        C = blk[:, d + n:d + 2 * n]
+        G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
+                            preferred_element_type=_F32)       # (q, q)
+        for j in range(h):
+            S_col, dt_col, S_row, send, d_j = _head_sd3(sd_ref, j)
+            x = blk[:, j * p:(j + 1) * p]        # (q, p)
+            x32 = x.astype(_F32)
+            xdt = (x32 * dt_col).astype(mm)
+            GM = (G * _decay_mask(S_col, S_row)).astype(mm)
+            y_intra = lax.dot_general(GM, xdt, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=_F32)
+            h_in = hc[j]                         # (n, p) f32
+            y_inter = lax.dot_general(C, h_in.astype(mm),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=_F32)
+            y = y_intra + y_inter * jnp.exp(S_col) + d_j * x32
+
+            T_end = jnp.exp(send - S_col)        # (q, 1)
+            xdt_dec = (xdt.astype(_F32) * T_end).astype(mm)
+            states = lax.dot_general(B, xdt_dec, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=_F32)
+            hc[j] = jnp.exp(send) * h_in + states
+            refs[0][0, :, j * p:(j + 1) * p] = y.astype(refs[0].dtype)
+            if emit_states:
+                refs[1][0, 0, j] = h_in
+    return kernel
+
+
+def _fwd_call_xbc(SD, xbc, d, interpret, emit_states=True):
+    b, nc, h, _, q = SD.shape
+    total = xbc.shape[-1]
+    n = (total - d) // 2
+    p = d // h
+    mm = xbc.dtype
+    blk_sd = lambda i, c: (i, c, 0, 0, 0)
+    blk_x = lambda i, c: (i, c, 0)
+    out_specs = [pl.BlockSpec((1, q, d), blk_x, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, nc * q, d), xbc.dtype)]
+    if emit_states:
+        out_specs.append(pl.BlockSpec((1, 1, h, n, p), blk_sd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, nc, h, n, p), _F32))
+    out = pl.pallas_call(
+        _make_fwd_kernel_xbc(h, p, d, n, emit_states, mm),
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, 3, q), blk_sd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, total), blk_x, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((h, n, p), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(SD, xbc)
+    out = list(out) if isinstance(out, (list, tuple)) else [out]
+    y = out.pop(0)
+    h_in = out.pop(0) if emit_states else None
+    return y, h_in
+
+
+def _make_bwd_kernel_xbc(h, p, d, n, mm):
+    def kernel(sd_ref, xbc_ref, hin_ref, dy_ref, dxbc_ref, dsdt_ref, dhc):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dhc[...] = jnp.zeros_like(dhc)
+
+        blk = xbc_ref[0]                         # (q, d + 2n)
+        B = blk[:, d:d + n]
+        C = blk[:, d + n:d + 2 * n]
+        q = B.shape[0]
+        G = lax.dot_general(C, B, (((1,), (1,)), ((), ())),
+                            preferred_element_type=_F32)
+        dB_acc = jnp.zeros((q, n), _F32)
+        dC_acc = jnp.zeros((q, n), _F32)
+        for j in range(h):
+            S_col, dt_col, S_row, send, d_j = _head_sd3(sd_ref, j)
+            E_col = jnp.exp(S_col)
+            T_end = jnp.exp(send - S_col)
+
+            x = blk[:, j * p:(j + 1) * p]
+            h_in = hin_ref[0, 0, j]              # (n, p) f32
+            dy = dy_ref[0][:, j * p:(j + 1) * p]
+            dh_out = dhc[j]                      # (n, p) f32 (see _bwd_body)
+
+            x32 = x.astype(_F32)
+            dy32 = dy.astype(_F32)
+            xdt32 = x32 * dt_col
+            xdt = xdt32.astype(mm)
+            M = _decay_mask(S_col, S_row)
+            GM = G * M
+
+            # dxdt = GM^T @ dy + (B @ dh_out) * T_end ; dx += D-skip term
+            t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=_F32)
+            Bdh = lax.dot_general(B.astype(_F32), dh_out,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=_F32)
+            dxdt = t1 + Bdh * T_end
+            dxbc_ref[0, :, j * p:(j + 1) * p] = (
+                dxdt * dt_col + d_j * dy32).astype(dxbc_ref.dtype)
+            ddt_col = jnp.sum(dxdt * x32, axis=1, keepdims=True)
+            dD = jnp.sum(dy32 * x32)             # scalar D-skip grad partial
+
+            dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=_F32)
+            dG = dGM * M
+            dlogM = dGM * GM
+
+            h_mm = h_in.astype(mm)
+            dC_acc += (lax.dot_general(dG.astype(mm), B,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=_F32)
+                       + lax.dot_general(dy, h_mm, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=_F32) * E_col)
+            xdt_dec = xdt.astype(_F32) * T_end
+            dB_acc += (lax.dot_general(dG.astype(mm), C,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=_F32)
+                       + lax.dot_general(xdt_dec, dh_out,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=_F32))
+
+            Chin = lax.dot_general(C, h_mm, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=_F32)
+            dE = jnp.sum(dy32 * Chin, axis=1, keepdims=True)
+            dT = jnp.sum(Bdh * xdt32, axis=1, keepdims=True)
+            dS_col = (jnp.sum(dlogM, axis=1, keepdims=True)
+                      + dE * E_col - dT * T_end)
+            dS_row_neg = jnp.sum(dlogM, axis=0, keepdims=True)
+            dSend = (jnp.sum(dT * T_end) +
+                     jnp.exp(send) * jnp.sum(dh_out * h_in))
+
+            two = jnp.concatenate([dS_col, ddt_col], axis=1)   # (q, 2)
+            twoT = two.T
+            pos = lax.broadcasted_iota(jnp.int32, (1, q), 1)
+            dS_final = twoT[0:1] - dS_row_neg + jnp.where(
+                pos == q - 1, dSend, 0.0)
+            dD_row = jnp.where(pos == 0, dD, 0.0)              # (1, q)
+            dsdt_ref[0, 0, j] = jnp.concatenate(
+                [dS_final, twoT[1:2], dD_row], axis=0)         # (3, q)
+
+            Ceff = C.astype(_F32) * E_col
+            dhc[j] = jnp.exp(send) * dh_out + lax.dot_general(
+                Ceff, dy32, (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+        dxbc_ref[0, :, d:d + n] = dB_acc.astype(dxbc_ref.dtype)
+        dxbc_ref[0, :, d + n:d + 2 * n] = dC_acc.astype(dxbc_ref.dtype)
+    return kernel
+
+
+def _bwd_call_xbc(SD, xbc, h_in, dy, d, interpret):
+    b, nc, h, _, q = SD.shape
+    total = xbc.shape[-1]
+    n = (total - d) // 2
+    p = d // h
+    mm = xbc.dtype
+
+    rev_sd = lambda i, c: (i, nc - 1 - c, 0, 0, 0)
+    rev_x = lambda i, c: (i, nc - 1 - c, 0)
+    dxbc, dsdt = pl.pallas_call(
+        _make_bwd_kernel_xbc(h, p, d, n, mm),
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, 3, q), rev_sd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, total), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, n, p), rev_sd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, d), rev_x, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q, total), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, 3, q), rev_sd, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xbc.shape, xbc.dtype),
+            jax.ShapeDtypeStruct((b, nc, h, 3, q), _F32),
+        ],
+        scratch_shapes=[pltpu.VMEM((h, n, p), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(SD, xbc, h_in, dy)
+    return dxbc, dsdt
+
+
+def _stack_sdd(S, dt, Dv):
+    # (b,h,nc,q) x2 + (h,) -> (b,nc,h,3,q) rows [S; dt; D-broadcast]
+    Drow = jnp.broadcast_to(Dv[None, :, None, None], S.shape)
+    return jnp.stack([S, dt, Drow], axis=-2).transpose(0, 2, 1, 3, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ssd_fused_xbc(xbc, dt, S, Dv, d, interpret=False):
+    """xbc (b, l, d + 2n) NATIVE un-split conv output (cols [x | B | C]),
+    activation dtype; dt/S (b,h,nc,q) f32; Dv (h,) f32 skip weights; ``d``
+    = d_inner (static). Returns the finished mixer core y (b, l, d)
+    INCLUDING the D-skip, in the activation dtype."""
+    y, _ = _fwd_call_xbc(_stack_sdd(S, dt, Dv), xbc, d, interpret,
+                         emit_states=False)
+    return y
+
+
+def _ssd_fused_xbc_fwd(xbc, dt, S, Dv, d, interpret):
+    SD = _stack_sdd(S, dt, Dv)
+    y, h_in = _fwd_call_xbc(SD, xbc, d, interpret)
+    return y, (SD, xbc, h_in)
+
+
+def _ssd_fused_xbc_bwd(d, interpret, res, dy):
+    SD, xbc, h_in = res
+    dxbc, dsdt = _bwd_call_xbc(SD, xbc, h_in, dy.astype(xbc.dtype), d,
+                               interpret)
+    dS = dsdt[:, :, :, 0].transpose(0, 2, 1, 3)    # (b,h,nc,q)
+    ddt = dsdt[:, :, :, 1].transpose(0, 2, 1, 3)
+    dD = dsdt[:, :, :, 2, 0].sum(axis=(0, 1))      # (h,)
+    return dxbc, ddt, dS, dD
+
+
+_ssd_fused_xbc.defvjp(_ssd_fused_xbc_fwd, _ssd_fused_xbc_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("d_inner", "chunk", "interpret"))
+def ssd_chunked_pallas_xbc(xbc, dt, A, D, *, d_inner: int, chunk: int = 128,
+                           interpret: bool = False):
+    """Boundary-fused mixer core: takes the conv's un-split (b, l,
+    d_inner + 2n) output directly (no x/B/C split copies; the backward
+    emits ONE dxbc buffer) and applies the per-head D-skip in-kernel.
+    Same math as ``ssd_chunked_pallas`` + D-skip; L must be a chunk
+    multiple and the geometry must pass ``ssd_fused_supported``."""
+    in_dtype = xbc.dtype
+    mm = in_dtype if in_dtype == jnp.bfloat16 else _F32
+    b, l, _ = xbc.shape
+    h = dt.shape[-1]
+    assert l % chunk == 0, (l, chunk)
+    nc, q = l // chunk, chunk
+    dth = dt.astype(_F32).transpose(0, 2, 1).reshape(b, h, nc, q)
+    S = jnp.cumsum(dth * A.astype(_F32)[None, :, None, None], axis=-1)
+    y = _ssd_fused_xbc(xbc.astype(mm), dth, S, D.astype(_F32), d_inner,
+                       interpret)
+    return y.astype(in_dtype)

@@ -225,30 +225,35 @@ def ssd_mixer_apply(params, u, *, n_heads: int, d_state: int,
     else:
         xbc = causal_conv1d(xbc, wcast(params["conv_w"]),
                             wcast(params["conv_b"]), activation="silu")
-    xm, Bm, Cm = jnp.split(xbc, [d_inner, d_inner + d_state], axis=-1)
-
     dt = jax.nn.softplus(dt_raw.astype(_F32)
                          + params["dt_bias"][None, None, :])  # (b,l,h)
     A = -jnp.exp(params["A_log"].astype(_F32))  # (h,) negative
 
     # pad L to the chunk multiple (zero dt => zero decay-change + zero input)
     pad = (-l) % chunk
-    if pad:
-        xm = jnp.pad(xm, ((0, 0), (0, pad), (0, 0)))
-        Bm = jnp.pad(Bm, ((0, 0), (0, pad), (0, 0)))
-        Cm = jnp.pad(Cm, ((0, 0), (0, pad), (0, 0)))
-        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
-
-    xh = xm.reshape(b, l + pad, n_heads, head_p)
     if ssd_fused_route(impl, l + pad, chunk, d_state, head_p, _interpret):
-        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas
+        # boundary-fused kernel: xbc stays UN-SPLIT (the x/B/C split and
+        # its grad pad+concat are ~3-4 ms/step of HBM copies at the bench
+        # geometry) and the D-skip rides the kernel's head loop
+        from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas_xbc
 
-        y = ssd_chunked_pallas(xh, dt, A, Bm, Cm, params["D"].astype(_F32),
-                               chunk=chunk, interpret=_interpret)
+        if pad:
+            xbc = jnp.pad(xbc, ((0, 0), (0, pad), (0, 0)))
+            dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        y = ssd_chunked_pallas_xbc(xbc, dt, A, params["D"].astype(_F32),
+                                   d_inner=d_inner, chunk=chunk,
+                                   interpret=_interpret)[:, :l]
     else:
+        xm, Bm, Cm = jnp.split(xbc, [d_inner, d_inner + d_state], axis=-1)
+        if pad:
+            xm = jnp.pad(xm, ((0, 0), (0, pad), (0, 0)))
+            Bm = jnp.pad(Bm, ((0, 0), (0, pad), (0, 0)))
+            Cm = jnp.pad(Cm, ((0, 0), (0, pad), (0, 0)))
+            dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        xh = xm.reshape(b, l + pad, n_heads, head_p)
         y = ssd_chunked(xh, dt, A, Bm, Cm, params["D"].astype(_F32),
                         chunk=chunk)
-    y = y.reshape(b, l + pad, d_inner)[:, :l]
+        y = y.reshape(b, l + pad, d_inner)[:, :l]
 
     # gated RMSNorm (the Mamba-2 block normalizes y * silu(z) before
     # out_proj; groupnorm with one group == RMSNorm over d_inner)

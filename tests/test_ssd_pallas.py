@@ -250,3 +250,79 @@ def test_ssd_chunk_config_equivalence():
                            chunk=128)
     np.testing.assert_allclose(np.asarray(y128), np.asarray(y64),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# boundary-fused (un-split xbc) kernel variant
+# ---------------------------------------------------------------------------
+
+def _as_xbc(x, Bm, Cm):
+    b, l, h, p = x.shape
+    return jnp.concatenate([x.reshape(b, l, h * p), Bm, Cm], axis=-1)
+
+
+@pytest.mark.parametrize("chunk,l", [(64, 256), (32, 96)])
+def test_xbc_fwd_matches_chunked(chunk, l):
+    """ssd_chunked_pallas_xbc == ssd_chunked (incl. the in-kernel D-skip)."""
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas_xbc
+
+    x, dt, A, Bm, Cm, D = _make(l=l)
+    b, _, h, p = x.shape
+    y_ref = ssd_chunked(x, dt, A, Bm, Cm, D, chunk=chunk)
+    y = ssd_chunked_pallas_xbc(_as_xbc(x, Bm, Cm), dt, A, D,
+                               d_inner=h * p, chunk=chunk, interpret=True)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(y_ref.reshape(b, l, h * p)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_xbc_grads_bitmatch_split_kernel():
+    """The un-split-operand backward computes the SAME math as the split
+    kernel's: every grad (x, B, C, dt, A) is bit-identical between the two
+    pallas variants, and dD matches XLA to fp32 rounding. This pins the
+    boundary fusion as a pure-layout change."""
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas_xbc
+
+    args = _make(b=2, l=128, h=2, p=16, n=8)
+    x, dt, A, Bm, Cm, D = args
+    b, l, h, p = x.shape
+
+    def loss(y):
+        return jnp.sum(jnp.sin(y) * jnp.cos(0.3 * y))
+
+    f_split = lambda *a: loss(
+        ssd_chunked_pallas(*a, chunk=32, interpret=True))
+    f_xbc = lambda x_, dt_, A_, Bm_, Cm_, D_: loss(
+        ssd_chunked_pallas_xbc(_as_xbc(x_, Bm_, Cm_), dt_, A_, D_,
+                               d_inner=h * p, chunk=32,
+                               interpret=True).reshape(b, l, h, p))
+    g_s = jax.grad(f_split, argnums=(0, 1, 2, 3, 4))(*args)
+    g_x = jax.grad(f_xbc, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b_ in zip("x dt A B C".split(), g_s, g_x):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b_),
+            err_msg=f"{name} grad not bit-identical between kernel variants")
+    g_ref = jax.grad(lambda *a: loss(ssd_chunked(*a, chunk=32)),
+                     argnums=(5,))(*args)[0]
+    g_d = jax.grad(f_xbc, argnums=(5,))(*args)[0]
+    np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6, err_msg="dD")
+
+
+def test_xbc_bf16_dtype_discipline():
+    """bf16 xbc path: output dtype follows the input and values track the
+    fp32 truth at bf16 tolerance."""
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas_xbc
+
+    x, dt, A, Bm, Cm, D = _make(b=1, l=64, h=2, p=16, n=8,
+                                dtype=jnp.bfloat16)
+    b, l, h, p = x.shape
+    y16 = ssd_chunked_pallas_xbc(_as_xbc(x, Bm, Cm), dt, A, D,
+                                 d_inner=h * p, chunk=32, interpret=True)
+    assert y16.dtype == jnp.bfloat16
+    y32 = ssd_chunked(x.astype(jnp.float32), dt, A,
+                      Bm.astype(jnp.float32), Cm.astype(jnp.float32), D,
+                      chunk=32)
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32.reshape(b, l, h * p)),
+                               rtol=0.06, atol=0.06)
