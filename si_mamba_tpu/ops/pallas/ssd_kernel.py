@@ -238,6 +238,90 @@ def _make_bwd_kernel(h, p, seed, mm):
     return kernel
 
 
+def _bwd_head(sd, x, h_in, dy, dh_out, B, C, G, mm, d_j=None):
+    """Shared per-head backward math of BOTH kernel variants (split and
+    xbc) — one body so the two cannot drift numerically (advisor r4). The
+    ONLY variant-specific term is the optional in-kernel D-skip grad
+    (``d_j`` set): dx gains ``d_j*dy`` and a scalar dD partial is returned.
+
+    ``sd`` = (S_col (q,1), dt_col (q,1), S_row (1,q), send scalar).
+    Returns (dx_cols (q,p), dS_final (1,q), ddt_row (1,q), dD scalar|None,
+    dB_part (q,n), dC_part (q,n), dh_new (n,p))."""
+    S_col, dt_col, S_row, send = sd
+    E_col = jnp.exp(S_col)
+    T_end = jnp.exp(send - S_col)
+
+    # the reverse state carry (dh_out) stays fp32 through every product it
+    # enters — the XLA oracle's mixed bf16*f32 einsums promote to f32
+    # there, and bf16-rounding dh measurably degrades the dt grads
+    # (cancellation in the dS sums amplifies the 0.4% rounding to
+    # ~30% on a few elements)
+    x32 = x.astype(_F32)
+    dy32 = dy.astype(_F32)
+    xdt32 = x32 * dt_col
+    xdt = xdt32.astype(mm)
+    M = _decay_mask(S_col, S_row)
+    GM = G * M                               # (q,q) f32, zero off-tril
+
+    # dxdt = GM^T @ dy + (B @ dh_out) * T_end
+    t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
+                         preferred_element_type=_F32)          # (q, p)
+    Bdh = lax.dot_general(B.astype(_F32), dh_out,
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=_F32)         # (q, p)
+    dxdt = t1 + Bdh * T_end
+    dx_cols = dxdt * dt_col
+    dD = None
+    if d_j is not None:
+        dx_cols = dx_cols + d_j * dy32       # in-kernel D-skip grad
+        dD = jnp.sum(dy32 * x32)             # scalar D-skip grad partial
+    ddt_col = jnp.sum(dxdt * x32, axis=1, keepdims=True)       # (q, 1)
+
+    # dGM = dy @ xdt^T ; dG = dGM * M ; dlogM = dGM * GM
+    dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
+                          preferred_element_type=_F32)         # (q_t, q_s)
+    dG = dGM * M
+    dlogM = dGM * GM
+
+    # dC += dG @ B + (dy @ h_in^T) * E ; dB += dG^T @ C + xdt_dec @ dh^T
+    h_mm = h_in.astype(mm)
+    dC_part = (lax.dot_general(dG.astype(mm), B, (((1,), (0,)), ((), ())),
+                               preferred_element_type=_F32)
+               + lax.dot_general(dy, h_mm, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=_F32) * E_col)
+    xdt_dec = xdt.astype(_F32) * T_end  # bf16-rounded xdt (matches fwd)
+    dB_part = (lax.dot_general(dG.astype(mm), C, (((0,), (0,)), ((), ())),
+                               preferred_element_type=_F32)
+               + lax.dot_general(xdt_dec, dh_out, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=_F32))
+
+    # dS: mask rows/cols + exp(S) factor + T_end + chunk-decay terms
+    Chin = lax.dot_general(C, h_mm, (((1,), (0,)), ((), ())),
+                           preferred_element_type=_F32)        # (q, p)
+    dE = jnp.sum(dy32 * Chin, axis=1, keepdims=True)
+    dT = jnp.sum(Bdh * xdt32, axis=1, keepdims=True)           # (q, 1)
+    dS_col = (jnp.sum(dlogM, axis=1, keepdims=True)            # t-row sums
+              + dE * E_col - dT * T_end)
+    dS_row_neg = jnp.sum(dlogM, axis=0, keepdims=True)         # s-col sums
+    dSend = (jnp.sum(dT * T_end) +
+             jnp.exp(send) * jnp.sum(dh_out * h_in))           # scalar
+
+    q = S_row.shape[1]
+    two = jnp.concatenate([dS_col, ddt_col], axis=1)           # (q, 2)
+    twoT = two.T                                               # (2, q)
+    is_end = (lax.broadcasted_iota(jnp.int32, (1, q), 1) == q - 1)
+    dS_final = twoT[0:1] - dS_row_neg + jnp.where(is_end, dSend, 0.0)
+
+    # carry: dh_in = exp(Send) * dh_out + (C * E)^T @ dy  (fp32
+    # operands — this is the long-range product chain; see the dh_out
+    # note above). Scalar (rank-0) decay factor: see module docstring.
+    Ceff = C.astype(_F32) * E_col
+    dh_new = jnp.exp(send) * dh_out + lax.dot_general(
+        Ceff, dy32, (((0,), (0,)), ((), ())),
+        preferred_element_type=_F32)
+    return dx_cols, dS_final, twoT[1:2], dD, dB_part, dC_part, dh_new
+
+
 def _bwd_body(h, p, sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
               dx_ref, dsdt_ref, db_ref, dc_ref, dhc, mm):
     B = b_ref[0, 0]
@@ -250,78 +334,19 @@ def _bwd_body(h, p, sd_ref, x_ref, b_ref, c_ref, hin_ref, dy_ref,
     dB_acc = jnp.zeros((q, n), _F32)
     dC_acc = jnp.zeros((q, n), _F32)
     for j in range(h):
-        S_col, dt_col, S_row, Send, send = _head_sd(sd_ref, j)
-        E_col = jnp.exp(S_col)
-        T_end = jnp.exp(send - S_col)
-
+        S_col, dt_col, S_row, _, send = _head_sd(sd_ref, j)
         x = x_ref[0][:, j * p:(j + 1) * p]       # (q, p) mm
         h_in = hin_ref[0, 0, j]                  # (n, p) f32
         dy = dy_ref[0][:, j * p:(j + 1) * p]     # (q, p) mm
-        # the reverse state carry stays fp32 through every product it
-        # enters — the XLA oracle's mixed bf16*f32 einsums promote to f32
-        # there, and bf16-rounding dh measurably degrades the dt grads
-        # (cancellation in the dS sums amplifies the 0.4% rounding to
-        # ~30% on a few elements)
         dh_out = dhc[j]                          # (n, p) f32
 
-        x32 = x.astype(_F32)
-        xdt32 = x32 * dt_col
-        xdt = xdt32.astype(mm)
-        M = _decay_mask(S_col, S_row)
-        GM = G * M                               # (q,q) f32, zero off-tril
-
-        # dxdt = GM^T @ dy + (B @ dh_out) * T_end
-        t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
-                             preferred_element_type=_F32)          # (q, p)
-        Bdh = lax.dot_general(B.astype(_F32), dh_out,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=_F32)         # (q, p)
-        dxdt = t1 + Bdh * T_end
-        dx_ref[0, :, j * p:(j + 1) * p] = (dxdt * dt_col).astype(dx_ref.dtype)
-        ddt_col = jnp.sum(dxdt * x32, axis=1, keepdims=True)       # (q, 1)
-
-        # dGM = dy @ xdt^T ; dG = dGM * M ; dlogM = dGM * GM
-        dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
-                              preferred_element_type=_F32)         # (q_t, q_s)
-        dG = dGM * M
-        dlogM = dGM * GM
-
-        # dC += dG @ B + (dy @ h_in^T) * E ; dB += dG^T @ C + xdt_dec @ dh^T
-        h_mm = h_in.astype(mm)
-        dC_acc += (lax.dot_general(dG.astype(mm), B, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=_F32)
-                   + lax.dot_general(dy, h_mm, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=_F32) * E_col)
-        xdt_dec = xdt.astype(_F32) * T_end  # bf16-rounded xdt (matches fwd)
-        dB_acc += (lax.dot_general(dG.astype(mm), C, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=_F32)
-                   + lax.dot_general(xdt_dec, dh_out, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=_F32))
-
-        # dS: mask rows/cols + exp(S) factor + T_end + chunk-decay terms
-        Chin = lax.dot_general(C, h_mm, (((1,), (0,)), ((), ())),
-                               preferred_element_type=_F32)        # (q, p)
-        dE = jnp.sum(dy.astype(_F32) * Chin, axis=1, keepdims=True)
-        dT = jnp.sum(Bdh * xdt32, axis=1, keepdims=True)           # (q, 1)
-        dS_col = (jnp.sum(dlogM, axis=1, keepdims=True)            # t-row sums
-                  + dE * E_col - dT * T_end)
-        dS_row_neg = jnp.sum(dlogM, axis=0, keepdims=True)         # s-col sums
-        dSend = (jnp.sum(dT * T_end) +
-                 jnp.exp(send) * jnp.sum(dh_out * h_in))           # scalar
-
-        two = jnp.concatenate([dS_col, ddt_col], axis=1)           # (q, 2)
-        twoT = two.T                                               # (2, q)
-        is_end = (lax.broadcasted_iota(jnp.int32, (1, q), 1) == q - 1)
-        dS_final = twoT[0:1] - dS_row_neg + jnp.where(is_end, dSend, 0.0)
-        dsdt_ref[0, 0, j] = jnp.concatenate([dS_final, twoT[1:2]], axis=0)
-
-        # carry: dh_in = exp(Send) * dh_out + (C * E)^T @ dy  (fp32
-        # operands — this is the long-range product chain; see the dh_out
-        # note above). Scalar (rank-0) decay factor: see module docstring.
-        Ceff = C.astype(_F32) * E_col
-        dhc[j] = jnp.exp(send) * dh_out + lax.dot_general(
-            Ceff, dy.astype(_F32), (((0,), (0,)), ((), ())),
-            preferred_element_type=_F32)
+        dx_cols, dS_final, ddt_row, _, dB_part, dC_part, dh_new = _bwd_head(
+            (S_col, dt_col, S_row, send), x, h_in, dy, dh_out, B, C, G, mm)
+        dx_ref[0, :, j * p:(j + 1) * p] = dx_cols.astype(dx_ref.dtype)
+        dsdt_ref[0, 0, j] = jnp.concatenate([dS_final, ddt_row], axis=0)
+        dB_acc += dB_part
+        dC_acc += dC_part
+        dhc[j] = dh_new
     db_ref[0, 0] = dB_acc
     dc_ref[0, 0] = dC_acc
 
@@ -512,7 +537,7 @@ def ssd_chunked_pallas(x, dt, A, Bm, Cm, D, *, chunk: int = 128,
 # core output with zero extra elementwise passes.
 
 
-def _make_fwd_kernel_xbc(h, p, d, n, emit_states, mm):
+def _make_fwd_kernel_xbc(h, p, d, n, emit_states, emit_hfin, mm):
     def kernel(sd_ref, xbc_ref, *outs_scratch):
         refs = list(outs_scratch)
         hc = refs.pop()                          # VMEM scratch (h, n, p) f32
@@ -548,10 +573,14 @@ def _make_fwd_kernel_xbc(h, p, d, n, emit_states, mm):
             refs[0][0, :, j * p:(j + 1) * p] = y.astype(refs[0].dtype)
             if emit_states:
                 refs[1][0, 0, j] = h_in
+        if emit_hfin:
+            # same (b,) block every chunk, c innermost: the LAST write
+            # (the slice's final state) is what lands in HBM
+            refs[1 + bool(emit_states)][0] = hc[...]
     return kernel
 
 
-def _fwd_call_xbc(SD, xbc, d, interpret, emit_states=True):
+def _fwd_call_xbc(SD, xbc, d, interpret, emit_states=True, emit_hfin=False):
     b, nc, h, _, q = SD.shape
     total = xbc.shape[-1]
     n = (total - d) // 2
@@ -559,14 +588,19 @@ def _fwd_call_xbc(SD, xbc, d, interpret, emit_states=True):
     mm = xbc.dtype
     blk_sd = lambda i, c: (i, c, 0, 0, 0)
     blk_x = lambda i, c: (i, c, 0)
+    blk_b = lambda i, c: (i, 0, 0, 0)
     out_specs = [pl.BlockSpec((1, q, d), blk_x, memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, nc * q, d), xbc.dtype)]
     if emit_states:
         out_specs.append(pl.BlockSpec((1, 1, h, n, p), blk_sd,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, nc, h, n, p), _F32))
+    if emit_hfin:
+        out_specs.append(pl.BlockSpec((1, h, n, p), blk_b,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, n, p), _F32))
     out = pl.pallas_call(
-        _make_fwd_kernel_xbc(h, p, d, n, emit_states, mm),
+        _make_fwd_kernel_xbc(h, p, d, n, emit_states, emit_hfin, mm),
         grid=(b, nc),
         in_specs=[
             pl.BlockSpec((1, 1, h, 3, q), blk_sd, memory_space=pltpu.VMEM),
@@ -582,15 +616,16 @@ def _fwd_call_xbc(SD, xbc, d, interpret, emit_states=True):
     out = list(out) if isinstance(out, (list, tuple)) else [out]
     y = out.pop(0)
     h_in = out.pop(0) if emit_states else None
-    return y, h_in
+    h_fin = out.pop(0) if emit_hfin else None
+    return y, h_in, h_fin
 
 
-def _make_bwd_kernel_xbc(h, p, d, n, mm):
-    def kernel(sd_ref, xbc_ref, hin_ref, dy_ref, dxbc_ref, dsdt_ref, dhc):
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            dhc[...] = jnp.zeros_like(dhc)
-
+def _make_bwd_kernel_xbc(h, p, d, n, seed, mm):
+    """xbc backward: the per-head math is ``_bwd_head`` (shared with the
+    split kernel), plus the in-kernel D-skip grad (``d_j``) and the 3-row
+    dsdt layout. ``seed=True`` takes the slice-final state cotangent input
+    (return_carry path), mirroring ``_make_bwd_kernel``."""
+    def body(sd_ref, xbc_ref, hin_ref, dy_ref, dxbc_ref, dsdt_ref, dhc):
         blk = xbc_ref[0]                         # (q, d + 2n)
         B = blk[:, d:d + n]
         C = blk[:, d + n:d + 2 * n]
@@ -601,81 +636,46 @@ def _make_bwd_kernel_xbc(h, p, d, n, mm):
         dC_acc = jnp.zeros((q, n), _F32)
         for j in range(h):
             S_col, dt_col, S_row, send, d_j = _head_sd3(sd_ref, j)
-            E_col = jnp.exp(S_col)
-            T_end = jnp.exp(send - S_col)
-
             x = blk[:, j * p:(j + 1) * p]
             h_in = hin_ref[0, 0, j]              # (n, p) f32
             dy = dy_ref[0][:, j * p:(j + 1) * p]
-            dh_out = dhc[j]                      # (n, p) f32 (see _bwd_body)
+            dh_out = dhc[j]                      # (n, p) f32 (see _bwd_head)
 
-            x32 = x.astype(_F32)
-            dy32 = dy.astype(_F32)
-            xdt32 = x32 * dt_col
-            xdt = xdt32.astype(mm)
-            M = _decay_mask(S_col, S_row)
-            GM = G * M
-
-            # dxdt = GM^T @ dy + (B @ dh_out) * T_end ; dx += D-skip term
-            t1 = lax.dot_general(GM.astype(mm), dy, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=_F32)
-            Bdh = lax.dot_general(B.astype(_F32), dh_out,
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=_F32)
-            dxdt = t1 + Bdh * T_end
-            dxbc_ref[0, :, j * p:(j + 1) * p] = (
-                dxdt * dt_col + d_j * dy32).astype(dxbc_ref.dtype)
-            ddt_col = jnp.sum(dxdt * x32, axis=1, keepdims=True)
-            dD = jnp.sum(dy32 * x32)             # scalar D-skip grad partial
-
-            dGM = lax.dot_general(dy, xdt, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=_F32)
-            dG = dGM * M
-            dlogM = dGM * GM
-
-            h_mm = h_in.astype(mm)
-            dC_acc += (lax.dot_general(dG.astype(mm), B,
-                                       (((1,), (0,)), ((), ())),
-                                       preferred_element_type=_F32)
-                       + lax.dot_general(dy, h_mm, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=_F32) * E_col)
-            xdt_dec = xdt.astype(_F32) * T_end
-            dB_acc += (lax.dot_general(dG.astype(mm), C,
-                                       (((0,), (0,)), ((), ())),
-                                       preferred_element_type=_F32)
-                       + lax.dot_general(xdt_dec, dh_out,
-                                         (((1,), (1,)), ((), ())),
-                                         preferred_element_type=_F32))
-
-            Chin = lax.dot_general(C, h_mm, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=_F32)
-            dE = jnp.sum(dy32 * Chin, axis=1, keepdims=True)
-            dT = jnp.sum(Bdh * xdt32, axis=1, keepdims=True)
-            dS_col = (jnp.sum(dlogM, axis=1, keepdims=True)
-                      + dE * E_col - dT * T_end)
-            dS_row_neg = jnp.sum(dlogM, axis=0, keepdims=True)
-            dSend = (jnp.sum(dT * T_end) +
-                     jnp.exp(send) * jnp.sum(dh_out * h_in))
-
-            two = jnp.concatenate([dS_col, ddt_col], axis=1)   # (q, 2)
-            twoT = two.T
+            (dx_cols, dS_final, ddt_row, dD, dB_part, dC_part,
+             dh_new) = _bwd_head((S_col, dt_col, S_row, send), x, h_in,
+                                 dy, dh_out, B, C, G, mm, d_j=d_j)
+            dxbc_ref[0, :, j * p:(j + 1) * p] = dx_cols.astype(
+                dxbc_ref.dtype)
             pos = lax.broadcasted_iota(jnp.int32, (1, q), 1)
-            dS_final = twoT[0:1] - dS_row_neg + jnp.where(
-                pos == q - 1, dSend, 0.0)
             dD_row = jnp.where(pos == 0, dD, 0.0)              # (1, q)
             dsdt_ref[0, 0, j] = jnp.concatenate(
-                [dS_final, twoT[1:2], dD_row], axis=0)         # (3, q)
-
-            Ceff = C.astype(_F32) * E_col
-            dhc[j] = jnp.exp(send) * dh_out + lax.dot_general(
-                Ceff, dy32, (((0,), (0,)), ((), ())),
-                preferred_element_type=_F32)
+                [dS_final, ddt_row, dD_row], axis=0)           # (3, q)
+            dB_acc += dB_part
+            dC_acc += dC_part
+            dhc[j] = dh_new
         dxbc_ref[0, :, d:d + n] = dB_acc.astype(dxbc_ref.dtype)
         dxbc_ref[0, :, d + n:d + 2 * n] = dC_acc.astype(dxbc_ref.dtype)
+
+    if seed:
+        def kernel(sd_ref, xbc_ref, hin_ref, dy_ref, dhf_ref,
+                   dxbc_ref, dsdt_ref, dhc):
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dhc[...] = dhf_ref[0]  # dL/dh_out of the LAST chunk
+
+            body(sd_ref, xbc_ref, hin_ref, dy_ref, dxbc_ref, dsdt_ref, dhc)
+    else:
+        def kernel(sd_ref, xbc_ref, hin_ref, dy_ref,
+                   dxbc_ref, dsdt_ref, dhc):
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dhc[...] = jnp.zeros_like(dhc)
+
+            body(sd_ref, xbc_ref, hin_ref, dy_ref, dxbc_ref, dsdt_ref, dhc)
     return kernel
 
 
-def _bwd_call_xbc(SD, xbc, h_in, dy, d, interpret):
+def _bwd_call_xbc(SD, xbc, h_in, dy, d, interpret, dh_fin=None):
     b, nc, h, _, q = SD.shape
     total = xbc.shape[-1]
     n = (total - d) // 2
@@ -684,15 +684,21 @@ def _bwd_call_xbc(SD, xbc, h_in, dy, d, interpret):
 
     rev_sd = lambda i, c: (i, nc - 1 - c, 0, 0, 0)
     rev_x = lambda i, c: (i, nc - 1 - c, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, h, 3, q), rev_sd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, total), rev_x, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, h, n, p), rev_sd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, q, d), rev_x, memory_space=pltpu.VMEM),
+    ]
+    inputs = [SD, xbc, h_in, dy]
+    if dh_fin is not None:
+        in_specs.append(pl.BlockSpec((1, h, n, p), lambda i, c: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(dh_fin)
     dxbc, dsdt = pl.pallas_call(
-        _make_bwd_kernel_xbc(h, p, d, n, mm),
+        _make_bwd_kernel_xbc(h, p, d, n, dh_fin is not None, mm),
         grid=(b, nc),
-        in_specs=[
-            pl.BlockSpec((1, 1, h, 3, q), rev_sd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q, total), rev_x, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, n, p), rev_sd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q, d), rev_x, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, q, total), rev_x, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h, 3, q), rev_sd, memory_space=pltpu.VMEM),
@@ -705,7 +711,7 @@ def _bwd_call_xbc(SD, xbc, h_in, dy, d, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(SD, xbc, h_in, dy)
+    )(*inputs)
     return dxbc, dsdt
 
 
@@ -721,38 +727,78 @@ def _ssd_fused_xbc(xbc, dt, S, Dv, d, interpret=False):
     activation dtype; dt/S (b,h,nc,q) f32; Dv (h,) f32 skip weights; ``d``
     = d_inner (static). Returns the finished mixer core y (b, l, d)
     INCLUDING the D-skip, in the activation dtype."""
-    y, _ = _fwd_call_xbc(_stack_sdd(S, dt, Dv), xbc, d, interpret,
-                         emit_states=False)
+    y, _, _ = _fwd_call_xbc(_stack_sdd(S, dt, Dv), xbc, d, interpret,
+                            emit_states=False)
     return y
 
 
 def _ssd_fused_xbc_fwd(xbc, dt, S, Dv, d, interpret):
     SD = _stack_sdd(S, dt, Dv)
-    y, h_in = _fwd_call_xbc(SD, xbc, d, interpret)
+    y, h_in, _ = _fwd_call_xbc(SD, xbc, d, interpret)
     return y, (SD, xbc, h_in)
 
 
-def _ssd_fused_xbc_bwd(d, interpret, res, dy):
+def _xbc_bwd(res, dy, d, interpret, dh_fin=None):
     SD, xbc, h_in = res
     dxbc, dsdt = _bwd_call_xbc(SD, xbc, h_in, dy.astype(xbc.dtype), d,
-                               interpret)
+                               interpret, dh_fin=dh_fin)
     dS = dsdt[:, :, :, 0].transpose(0, 2, 1, 3)    # (b,h,nc,q)
     ddt = dsdt[:, :, :, 1].transpose(0, 2, 1, 3)
     dD = dsdt[:, :, :, 2, 0].sum(axis=(0, 1))      # (h,)
     return dxbc, ddt, dS, dD
 
 
+def _ssd_fused_xbc_bwd(d, interpret, res, dy):
+    return _xbc_bwd(res, dy, d, interpret)
+
+
 _ssd_fused_xbc.defvjp(_ssd_fused_xbc_fwd, _ssd_fused_xbc_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("d_inner", "chunk", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ssd_fused_xbc_carry(xbc, dt, S, Dv, d, interpret=False):
+    """Like ``_ssd_fused_xbc`` but also returns the slice-final state h_fin
+    (b,h,n,p) fp32 — the sequence-parallel carry (mirrors
+    ``_ssd_fused_carry`` on the split kernel)."""
+    y, _, h_fin = _fwd_call_xbc(_stack_sdd(S, dt, Dv), xbc, d, interpret,
+                                emit_states=False, emit_hfin=True)
+    return y, h_fin
+
+
+def _ssd_fused_xbc_carry_fwd(xbc, dt, S, Dv, d, interpret):
+    SD = _stack_sdd(S, dt, Dv)
+    y, h_in, h_fin = _fwd_call_xbc(SD, xbc, d, interpret, emit_states=True,
+                                   emit_hfin=True)
+    return (y, h_fin), (SD, xbc, h_in)
+
+
+def _ssd_fused_xbc_carry_bwd(d, interpret, res, cts):
+    dy, dh_fin = cts
+    return _xbc_bwd(res, dy, d, interpret, dh_fin=dh_fin.astype(_F32))
+
+
+_ssd_fused_xbc_carry.defvjp(_ssd_fused_xbc_carry_fwd, _ssd_fused_xbc_carry_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("d_inner", "chunk",
+                                             "return_carry", "interpret"))
 def ssd_chunked_pallas_xbc(xbc, dt, A, D, *, d_inner: int, chunk: int = 128,
+                           return_carry: bool = False,
                            interpret: bool = False):
     """Boundary-fused mixer core: takes the conv's un-split (b, l,
     d_inner + 2n) output directly (no x/B/C split copies; the backward
     emits ONE dxbc buffer) and applies the per-head D-skip in-kernel.
     Same math as ``ssd_chunked_pallas`` + D-skip; L must be a chunk
-    multiple and the geometry must pass ``ssd_fused_supported``."""
+    multiple and the geometry must pass ``ssd_fused_supported``.
+
+    ``return_carry`` adds the (total_decay (b,h), h_fin (b,h,n,p)) affine
+    map of the slice — the same contract as ``ops.ssd.ssd_chunked`` — for
+    a future joint-buffer sequence-parallel mixer route. NOTE the existing
+    parallel wrappers (``parallel/seq_scan._ssd_local``,
+    ``parallel/tensor_parallel._ssd_mixer_local``) deliberately keep the
+    split kernel: their operands arrive ALREADY split (separate shard_map
+    inputs / separate per-shard projections), so the xbc form would add a
+    (x|B|C) concat instead of removing one."""
     in_dtype = xbc.dtype
     mm = in_dtype if in_dtype == jnp.bfloat16 else _F32
     b, l, _ = xbc.shape
@@ -761,6 +807,11 @@ def ssd_chunked_pallas_xbc(xbc, dt, A, D, *, d_inner: int, chunk: int = 128,
     nc, q = l // chunk, chunk
     dth = dt.astype(_F32).transpose(0, 2, 1).reshape(b, h, nc, q)
     S = jnp.cumsum(dth * A.astype(_F32)[None, :, None, None], axis=-1)
+    if return_carry:
+        y, h_fin = _ssd_fused_xbc_carry(xbc.astype(mm), dth, S,
+                                        D.astype(_F32), d_inner, interpret)
+        total_decay = jnp.exp(S[..., -1].sum(-1))  # (b,h)
+        return y.astype(in_dtype), total_decay, h_fin
     y = _ssd_fused_xbc(xbc.astype(mm), dth, S, D.astype(_F32), d_inner,
                        interpret)
     return y.astype(in_dtype)

@@ -314,6 +314,47 @@ def test_xbc_grads_match_split_kernel():
                                rtol=1e-5, atol=1e-6, err_msg="dD")
 
 
+def test_xbc_return_carry_matches_chunked():
+    """ssd_chunked_pallas_xbc(return_carry=True) == ssd_chunked's
+    (y, total_decay, h_fin) contract — values AND grads through a loss
+    that consumes the carry (exercising the dh_fin-seeded backward)."""
+    from si_mamba_tpu.ops.pallas.ssd_kernel import ssd_chunked_pallas_xbc
+
+    args = _make(b=2, l=128, h=2, p=16, n=8)
+    x, dt, A, Bm, Cm, D = args
+    b, l, h, p = x.shape
+
+    y_ref, dec_ref, hf_ref = ssd_chunked(*args, chunk=32, return_carry=True)
+    y, dec, hf = ssd_chunked_pallas_xbc(
+        _as_xbc(x, Bm, Cm), dt, A, D, d_inner=h * p, chunk=32,
+        return_carry=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(y_ref.reshape(b, l, h * p)),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_ref(x_, dt_, A_, Bm_, Cm_, D_):
+        y_, _, hf_ = ssd_chunked(x_, dt_, A_, Bm_, Cm_, D_, chunk=32,
+                                 return_carry=True)
+        return jnp.sum(jnp.sin(y_)) + jnp.sum(jnp.cos(hf_))
+
+    def loss_xbc(x_, dt_, A_, Bm_, Cm_, D_):
+        y_, _, hf_ = ssd_chunked_pallas_xbc(
+            _as_xbc(x_, Bm_, Cm_), dt_, A_, D_, d_inner=h * p, chunk=32,
+            return_carry=True, interpret=True)
+        return jnp.sum(jnp.sin(y_.reshape(b, l, h, p))) + jnp.sum(jnp.cos(hf_))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_xbc = jax.grad(loss_xbc, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for name, a, b_ in zip("x dt A B C D".split(), g_ref, g_xbc):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-5,
+            err_msg=f"{name} grad (carry path)")
+
+
 def test_xbc_bf16_dtype_discipline():
     """bf16 xbc path: output dtype follows the input and values track the
     fp32 truth at bf16 tolerance."""
