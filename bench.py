@@ -15,6 +15,7 @@ host readback as the fence.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -32,6 +33,13 @@ V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 # MFU is the wrong denominator; report VPU-roofline utilization too.
 V5E_VPU_FP32_OPS = 1.25e12
 K_STEPS = 10
+# Guard overrides (cache-warmup runs set both to huge values so every
+# program compiles and lands in the persistent cache; the driver's plain
+# run keeps the defaults and starts warm):
+#   SI_MAMBA_BENCH_BUDGET_S      elapsed gate for post-flagship extras
+#   SI_MAMBA_BENCH_COLD_GUARD_S  primary-compile-time cold-cache guard
+BUDGET_S = float(os.environ.get("SI_MAMBA_BENCH_BUDGET_S", "900"))
+COLD_GUARD_S = float(os.environ.get("SI_MAMBA_BENCH_COLD_GUARD_S", "120"))
 
 
 def scan_vpu_gops(B, L, d_model, n_layer, d_state=16, expand=2):
@@ -117,71 +125,14 @@ def main():
     clouds_per_sec = B / dt
     mfu = step_flops / dt / V5E_BF16_PEAK_FLOPS
 
-    # spectral stage p50 (graph + batched eigh + top-k), amortized; both the
-    # exact eigh solver and the MXU-only subspace-iteration alternative
-    # (VERDICT r1 #5 — ops/spectral.py:88).
-    centers = gather_points(pts, fps(pts, cfg.num_group))
+    extras = {}
 
-    def spectral_p50(cfg_s):
-        @jax.jit
-        def multi_spec(c):
-            def body(acc, _):
-                # acc*1e-30 keeps a real loop-carried data dependency so XLA
-                # cannot hoist the body out of the scan (acc*0 would fold away)
-                _, vecs = spectral_eigvecs(c + acc * 1e-30, cfg_s)
-                return jnp.sum(vecs), jnp.sum(vecs)
-
-            acc, outs = lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))
-            return outs
-
-        np.asarray(multi_spec(centers))
-        slat = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(multi_spec(centers))
-            slat.append((time.perf_counter() - t0) / K_STEPS)
-        return float(np.median(slat) * 1e3)
-
-    import dataclasses
-    spectral_p50_ms = spectral_p50(
-        dataclasses.replace(cfg, spectral_method="eigh"))
-    spectral_subspace_p50_ms = spectral_p50(
-        dataclasses.replace(cfg, spectral_method="subspace"))
-
-    # eval forward throughput, amortized
-    ev = {"params": state.params, "batch_stats": state.batch_stats}
-
-    @jax.jit
-    def multi_eval(v, p):
-        def body(acc, _):
-            logits = model.apply(v, p + acc * 1e-30, train=False)
-            s = jnp.sum(logits).astype(jnp.float32)
-            return s, s
-
-        _, outs = lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))
-        return outs
-
-    np.asarray(multi_eval(ev, pts))
-    elat = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(multi_eval(ev, pts))
-        elat.append((time.perf_counter() - t0) / K_STEPS)
-    eval_dt = float(np.median(elat))
-
-    # vote path: ALL 10 stochastic passes in ONE compiled program
-    # (runner_finetune.make_vote_step lax.scan — VERDICT r2 #7); the
-    # reference dispatches them separately (tools/runner_finetune.py:388-396)
-    from si_mamba_tpu.train.runner_finetune import make_vote_step
-
-    vote_step = jax.jit(make_vote_step(model, N, rotation=False, times=10))
-    np.asarray(vote_step(state, pts, jax.random.key(7)))
-    vlat = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(vote_step(state, pts, jax.random.key(7)))
-        vlat.append(time.perf_counter() - t0)
-    vote10_dt = float(np.median(vlat))
+    def within_budget(limit_s=BUDGET_S):
+        """Elapsed gate for everything AFTER the flagship measurements —
+        rounds 3 and 4 both lost the newest number to compile-budget
+        starvation (VERDICT r4 weak #2), so the measurement ORDER is now
+        primary -> ssd_fused -> gated extras."""
+        return time.perf_counter() - t_compile0 < limit_s
 
     # opt-in SSD mixer (ops/ssd.py — chunked scalar-decay SSM in pure MXU
     # matmuls; Mamba-2 structure, no reference-parity claim): same train
@@ -189,7 +140,6 @@ def main():
     # depends on this block — and on a COLD compile cache (primary compile
     # over the relay took minutes) it is skipped entirely so the extra
     # full-model compile cannot push the whole bench past a driver timeout.
-    # Measured warm: 62.9 ms/step = 508.7 clouds/s (ROADMAP round-3).
     def measure_ssd(scan_impl=None, prefix="ssd", eval_vote=False):
         import dataclasses as _dc
 
@@ -230,6 +180,10 @@ def main():
                f"{prefix}_clouds_per_sec": round(B / ssd_dt, 2)}
         if not eval_vote:
             return out
+        if not within_budget():
+            out[f"{prefix}_eval_vote_skipped_elapsed_s"] = round(
+                time.perf_counter() - t_compile0, 1)
+            return out
 
         # eval + 10-pass vote on the fastest opt-in config (the vote
         # protocol is 10 independent stochastic forwards, so vote ≈
@@ -268,43 +222,132 @@ def main():
         out[f"{prefix}_vote_clouds_per_sec"] = round(B / vdt, 1)
         return out
 
-    if primary_compile_s > 120.0:
-        ssd_extra = {"ssd_skipped_cold_cache_compile_s":
-                     round(primary_compile_s, 1)}
+    # --- flagship extra FIRST: the fused Pallas SSD kernel train step
+    # (ops/pallas/ssd_kernel.py — VMEM-resident chunk recurrence). Rounds 3
+    # and 4 ran it LAST and the driver-captured record never contained a
+    # working number (r3: MosaicError before the fix landed; r4: skipped on
+    # the elapsed gate after ~20 min of other compiles — VERDICT r4 next #1).
+    # It now runs immediately after the primary; only the cold-cache guard
+    # and the engaged-predicate guard apply to it.
+    from si_mamba_tpu.ops.ssd import ssd_fused_engaged
+
+    seq_tokens = cfg.k_top_eigenvectors * cfg.num_group * 2
+    if primary_compile_s > COLD_GUARD_S:
+        extras["ssd_fused_skipped_cold_cache_compile_s"] = round(
+            primary_compile_s, 1)
+    elif not ssd_fused_engaged(seq_tokens):
+        # off-TPU / off-tile: the mixer would fall back to XLA and the
+        # "fused" number would be an A/A of the XLA-SSD line — say so
+        # instead of reporting it
+        extras["ssd_fused_skipped_not_engaged"] = True
     else:
         try:
-            ssd_extra = measure_ssd()
+            extras.update(measure_ssd("ssd_fused", "ssd_fused",
+                                      eval_vote=True))
         except Exception as e:  # pragma: no cover - depends on backend
-            ssd_extra = {"ssd_error": f"{type(e).__name__}"}
-        # same step through the fused Pallas SSD kernel
-        # (ops/pallas/ssd_kernel.py — VMEM-resident chunk recurrence).
-        # Extra wall-clock gate: a cache that is warm for everything ELSE
-        # still cold-compiles this one program (minutes over the relay), so
-        # skip when the bench has already burned its budget getting here —
-        # a driver-side run can then never time out on the newest kernel.
-        from si_mamba_tpu.ops.ssd import ssd_fused_engaged
+            extras["ssd_fused_error"] = f"{type(e).__name__}"
 
-        elapsed_s = time.perf_counter() - t_compile0
-        seq_tokens = cfg.k_top_eigenvectors * cfg.num_group * 2
-        if not ssd_fused_engaged(seq_tokens):
-            # off-TPU / off-tile: the mixer would fall back to XLA and the
-            # "fused" number would be an A/A of the line above — say so
-            # instead of reporting it
-            ssd_extra["ssd_fused_skipped_not_engaged"] = True
-        elif elapsed_s > 900.0:
-            ssd_extra["ssd_fused_skipped_elapsed_s"] = round(elapsed_s, 1)
-        else:
-            try:
-                ssd_extra.update(measure_ssd("ssd_fused", "ssd_fused",
-                                             eval_vote=True))
-            except Exception as e:  # pragma: no cover - depends on backend
-                ssd_extra["ssd_fused_error"] = f"{type(e).__name__}"
+    # --- elapsed-gated extras, in decreasing importance ---
+
+    # XLA-path SSD mixer (the chunked matmul formulation without the
+    # Pallas kernel — the fused line's A/B partner)
+    if primary_compile_s > COLD_GUARD_S:
+        extras["ssd_skipped_cold_cache_compile_s"] = round(
+            primary_compile_s, 1)
+    elif not within_budget():
+        extras["ssd_skipped_elapsed_s"] = round(
+            time.perf_counter() - t_compile0, 1)
+    else:
+        try:
+            extras.update(measure_ssd())
+        except Exception as e:  # pragma: no cover - depends on backend
+            extras["ssd_error"] = f"{type(e).__name__}"
+
+    # spectral stage p50 (graph + batched eigh + top-k), amortized; both the
+    # exact eigh solver and the MXU-only subspace-iteration alternative
+    # (VERDICT r1 #5 — ops/spectral.py:88). Small programs — cheap compiles.
+    centers = gather_points(pts, fps(pts, cfg.num_group))
+
+    def spectral_p50(cfg_s):
+        @jax.jit
+        def multi_spec(c):
+            def body(acc, _):
+                # acc*1e-30 keeps a real loop-carried data dependency so XLA
+                # cannot hoist the body out of the scan (acc*0 would fold away)
+                _, vecs = spectral_eigvecs(c + acc * 1e-30, cfg_s)
+                return jnp.sum(vecs), jnp.sum(vecs)
+
+            acc, outs = lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))
+            return outs
+
+        np.asarray(multi_spec(centers))
+        slat = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(multi_spec(centers))
+            slat.append((time.perf_counter() - t0) / K_STEPS)
+        return float(np.median(slat) * 1e3)
+
+    import dataclasses
+    if within_budget():
+        extras["spectral_p50_ms"] = round(spectral_p50(
+            dataclasses.replace(cfg, spectral_method="eigh")), 3)
+        extras["spectral_subspace_p50_ms"] = round(spectral_p50(
+            dataclasses.replace(cfg, spectral_method="subspace")), 3)
+    else:
+        extras["spectral_skipped_elapsed_s"] = round(
+            time.perf_counter() - t_compile0, 1)
+
+    # eval forward throughput, amortized
+    ev = {"params": state.params, "batch_stats": state.batch_stats}
+    if within_budget():
+        @jax.jit
+        def multi_eval(v, p):
+            def body(acc, _):
+                logits = model.apply(v, p + acc * 1e-30, train=False)
+                s = jnp.sum(logits).astype(jnp.float32)
+                return s, s
+
+            _, outs = lax.scan(body, jnp.float32(0), jnp.arange(K_STEPS))
+            return outs
+
+        np.asarray(multi_eval(ev, pts))
+        elat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(multi_eval(ev, pts))
+            elat.append((time.perf_counter() - t0) / K_STEPS)
+        extras["eval_clouds_per_sec"] = round(B / float(np.median(elat)), 2)
+    else:
+        extras["eval_skipped_elapsed_s"] = round(
+            time.perf_counter() - t_compile0, 1)
+
+    # vote path: ALL 10 stochastic passes in ONE compiled program
+    # (runner_finetune.make_vote_step lax.scan — VERDICT r2 #7); the
+    # reference dispatches them separately (tools/runner_finetune.py:388-396)
+    if within_budget():
+        from si_mamba_tpu.train.runner_finetune import make_vote_step
+
+        vote_step = jax.jit(make_vote_step(model, N, rotation=False,
+                                           times=10))
+        np.asarray(vote_step(state, pts, jax.random.key(7)))
+        vlat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(vote_step(state, pts, jax.random.key(7)))
+            vlat.append(time.perf_counter() - t0)
+        vote10_dt = float(np.median(vlat))
+        extras["vote10_ms_per_batch"] = round(vote10_dt * 1e3, 1)
+        extras["vote_clouds_per_sec"] = round(B / vote10_dt, 1)
+    else:
+        extras["vote_skipped_elapsed_s"] = round(
+            time.perf_counter() - t_compile0, 1)
 
     # serving: batched vs single-request dispatch through the Predictor
     # (the gap is what serving.MicroBatcher recovers by coalescing
     # concurrent clients into one program dispatch — each single request
-    # otherwise pays the full program + relay-RTT latency). Same cold-cache
-    # gate as the SSD extra: two more full-model compiles (bucket 64 + 2).
+    # otherwise pays the full program + relay-RTT latency). Two more
+    # full-model compiles (bucket 64 + 2).
     def measure_serve():
         from si_mamba_tpu.serving import Predictor
 
@@ -324,11 +367,14 @@ def main():
                 "serve_single_p50_ms": round(single_dt * 1e3, 1),
                 "serve_batching_speedup": round(single_dt * B / batch_dt, 1)}
 
-    if primary_compile_s <= 120.0:
+    if primary_compile_s <= COLD_GUARD_S and within_budget():
         try:
-            ssd_extra.update(measure_serve())
+            extras.update(measure_serve())
         except Exception as e:  # pragma: no cover - depends on backend
-            ssd_extra["serve_error"] = f"{type(e).__name__}"
+            extras["serve_error"] = f"{type(e).__name__}"
+    elif primary_compile_s <= COLD_GUARD_S:
+        extras["serve_skipped_elapsed_s"] = round(
+            time.perf_counter() - t_compile0, 1)
 
     # Best train throughput across the measured configs: the headline
     # `value` stays the reference-architecture (Mamba-1) workload for
@@ -336,10 +382,10 @@ def main():
     # fastest opt-in configuration achieves on the same shape.
     best_cfg, best_cps = "mamba1", clouds_per_sec
     for k in ("ssd_clouds_per_sec", "ssd_fused_clouds_per_sec"):
-        if ssd_extra.get(k, 0) > best_cps:
-            best_cfg, best_cps = k.replace("_clouds_per_sec", ""), ssd_extra[k]
-    ssd_extra["best_train_clouds_per_sec"] = round(best_cps, 2)
-    ssd_extra["best_train_config"] = best_cfg
+        if extras.get(k, 0) > best_cps:
+            best_cfg, best_cps = k.replace("_clouds_per_sec", ""), extras[k]
+    extras["best_train_clouds_per_sec"] = round(best_cps, 2)
+    extras["best_train_config"] = best_cfg
 
     print(json.dumps({
         "metric": "modelnet40_train_clouds_per_sec_per_chip",
@@ -366,15 +412,10 @@ def main():
             "scan_vpu_gops_est": round(
                 scan_vpu_gops(B, cfg.seq_len, cfg.trans_dim, cfg.depth), 1),
             "step_tflops_xla_est": round(step_flops / 1e12, 3),
-            "eval_clouds_per_sec": round(B / eval_dt, 2),
-            "vote10_ms_per_batch": round(vote10_dt * 1e3, 1),
-            "vote_clouds_per_sec": round(B / vote10_dt, 1),
-            "spectral_p50_ms": round(spectral_p50_ms, 3),
-            "spectral_subspace_p50_ms": round(spectral_subspace_p50_ms, 3),
             "batch": B,
             "scan_impl": cfg.scan_impl,
             "amortized_over": K_STEPS,
-            **ssd_extra,
+            **extras,
         },
     }))
 
