@@ -140,9 +140,14 @@ def main():
     # depends on this block — and on a COLD compile cache (primary compile
     # over the relay took minutes) it is skipped entirely so the extra
     # full-model compile cannot push the whole bench past a driver timeout.
-    def measure_ssd(scan_impl=None, prefix="ssd", eval_vote=False):
+    def measure_ssd(scan_impl=None, prefix="ssd", eval_vote=False, out=None):
+        """Writes each sub-measurement into ``out`` (default: new dict) AS IT
+        COMPLETES, so a failure in a later sub-measurement (e.g. vote) cannot
+        discard an already-captured train number at the call site."""
         import dataclasses as _dc
 
+        if out is None:
+            out = {}
         overrides = {"mixer": "ssd"}
         if scan_impl is not None:
             overrides["scan_impl"] = scan_impl
@@ -176,8 +181,8 @@ def main():
             np.asarray(sl)
             slat2.append((time.perf_counter() - t0) / K_STEPS)
         ssd_dt = float(np.median(slat2))
-        out = {f"{prefix}_train_step_ms": round(ssd_dt * 1e3, 2),
-               f"{prefix}_clouds_per_sec": round(B / ssd_dt, 2)}
+        out[f"{prefix}_train_step_ms"] = round(ssd_dt * 1e3, 2)
+        out[f"{prefix}_clouds_per_sec"] = round(B / ssd_dt, 2)
         if not eval_vote:
             return out
         if not within_budget():
@@ -208,6 +213,8 @@ def main():
             elat2.append((time.perf_counter() - t0) / K_STEPS)
         out[f"{prefix}_eval_clouds_per_sec"] = round(
             B / float(np.median(elat2)), 2)
+
+        from si_mamba_tpu.train.runner_finetune import make_vote_step
 
         svote = jax.jit(make_vote_step(ssd_model, N, rotation=False,
                                        times=10))
@@ -242,8 +249,7 @@ def main():
         extras["ssd_fused_skipped_not_engaged"] = True
     else:
         try:
-            extras.update(measure_ssd("ssd_fused", "ssd_fused",
-                                      eval_vote=True))
+            measure_ssd("ssd_fused", "ssd_fused", eval_vote=True, out=extras)
         except Exception as e:  # pragma: no cover - depends on backend
             extras["ssd_fused_error"] = f"{type(e).__name__}"
 
@@ -259,7 +265,7 @@ def main():
             time.perf_counter() - t_compile0, 1)
     else:
         try:
-            extras.update(measure_ssd())
+            measure_ssd(out=extras)
         except Exception as e:  # pragma: no cover - depends on backend
             extras["ssd_error"] = f"{type(e).__name__}"
 

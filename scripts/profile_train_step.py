@@ -94,7 +94,8 @@ def capture(tracedir: str, mixer: str = "mamba",
     return wall_ms
 
 
-def capture_pretrain(tracedir: str) -> float:
+def capture_pretrain(tracedir: str, mixer: str = "mamba",
+                     scan_impl: str | None = None) -> float:
     global K_STEPS
     import dataclasses
 
@@ -108,8 +109,18 @@ def capture_pretrain(tracedir: str) -> float:
     from si_mamba_tpu.train.train_state import TrainState
 
     B, N = 128, 1024
+    kw = {"scan_impl": scan_impl} if scan_impl else {}
     cfg = dataclasses.replace(PointMAEConfig(dtype="bfloat16"),
-                              wavelet_solver="jacobi")
+                              wavelet_solver="jacobi", mixer=mixer, **kw)
+    if scan_impl == "ssd_fused":
+        from si_mamba_tpu.ops.ssd import ssd_fused_engaged
+
+        # MAE encoder sequence: k traversals x visible tokens x2 reversed
+        vis = cfg.num_group - int(cfg.mask_ratio * cfg.num_group)
+        if not ssd_fused_engaged(cfg.k_top_eigenvectors * vis * 2):
+            raise RuntimeError(
+                "--pretrain --ssd-fused would profile the XLA fallback — "
+                "refusing to write an A/A trace")
     model = PointMAEMamba(cfg)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
@@ -223,7 +234,9 @@ def main():
     shutil.rmtree(tracedir, ignore_errors=True)
     os.makedirs(tracedir, exist_ok=True)
     if pretrain:
-        wall_ms = capture_pretrain(tracedir)
+        wall_ms = capture_pretrain(
+            tracedir, mixer="ssd" if (ssd or ssd_fused) else "mamba",
+            scan_impl="ssd_fused" if ssd_fused else None)
     else:
         wall_ms = capture(
             tracedir, mixer="ssd" if (ssd or ssd_fused) else "mamba",
@@ -258,10 +271,12 @@ def main():
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks",
-        "profile_pretrain_step.json" if pretrain
+        ("profile_pretrain_ssd_fused_step.json" if ssd_fused
+         else "profile_pretrain_step.json") if pretrain
+        else ("profile_hardest_ssd_fused_step.json" if ssd_fused
+              else "profile_hardest_step.json") if hardest
         else "profile_ssd_fused_step.json" if ssd_fused
         else "profile_ssd_step.json" if ssd
-        else "profile_hardest_step.json" if hardest
         else "profile_train_step.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)

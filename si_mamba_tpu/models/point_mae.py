@@ -224,8 +224,12 @@ class PointMAEMamba(nn.Module):
             the token gradient flows through the hard gather alone, while
             d/dP_hat = g x^T flows via the soft term over stop_grad(x).
             """
+            # one flattened gather — no K-fold materialization of the
+            # operand (x[:, None].repeat(K) made XLA write a (B,K,G,C)
+            # copy of x before gathering from it)
             hard = jnp.take_along_axis(
-                x[:, None].repeat(K, axis=1), order_idx[..., None], axis=2)
+                x, order_idx.reshape(B, K * G)[..., None],
+                axis=1).reshape(B, K, G, -1)
             if train:
                 xf = jax.lax.stop_gradient(
                     x.reshape(B, 1, G, -1).astype(jnp.float32))
@@ -236,7 +240,8 @@ class PointMAEMamba(nn.Module):
 
         tok_k = permute(tokens)  # (B, K, G, C)
         pos_k = permute(pos)
-        mask_k = jnp.take_along_axis(mask[:, None].repeat(K, axis=1), order_idx, axis=2)
+        mask_k = jnp.take_along_axis(
+            mask, order_idx.reshape(B, K * G), axis=1).reshape(B, K, G)
 
         # flatten traversals
         C = cfg.trans_dim
@@ -253,27 +258,18 @@ class PointMAEMamba(nn.Module):
                                  n_vis, masked=False).reshape(B, K * n_vis, C)
         pos_vis = select_by_rank(pos_k.reshape(B * K, G, C), mask_k.reshape(B * K, G),
                                  n_vis, masked=False).reshape(B, K * n_vis, C)
-        pos_msk = select_by_rank(pos_k.reshape(B * K, G, C), mask_k.reshape(B * K, G),
-                                 n_mask, masked=True).reshape(B, K * n_mask, C)
-
-        nbr_k = jnp.take_along_axis(
-            grouped.neighborhood[:, None].repeat(K, axis=1),
-            order_idx[..., None, None], axis=2)  # (B, K, G, M, 3)
-        nbr_flat = nbr_k.reshape(B, K * G, cfg.group_size, 3)
 
         if cfg.reverse:
             x_vis_in = jnp.concatenate([tok_vis, tok_vis[:, ::-1]], axis=1)
             pos_vis_in = jnp.concatenate([pos_vis, pos_vis[:, ::-1]], axis=1)
-            pos_msk_full = jnp.concatenate([pos_msk, pos_msk[:, ::-1]], axis=1)
             pos_full = jnp.concatenate([pos_flat, pos_flat[:, ::-1]], axis=1)
             mask_rev = mask_flat[:, ::-1]
-            nbr_full = jnp.concatenate([nbr_flat, nbr_flat[:, ::-1]], axis=1)
             mask_full = jnp.concatenate([mask_flat, mask_rev], axis=1)
         else:
             x_vis_in, pos_vis_in = tok_vis, pos_vis
-            pos_msk_full, pos_full = pos_msk, pos_flat
+            pos_full = pos_flat
             mask_rev = None
-            nbr_full, mask_full = nbr_flat, mask_flat
+            mask_full = mask_flat
 
         # ---- encoder over visible tokens ----------------------------------
         x_vis = MixerModel(cfg.trans_dim, cfg.depth, rms_norm=cfg.rms_norm,
@@ -315,8 +311,20 @@ class PointMAEMamba(nn.Module):
         # masked-slot predictions (static count)
         total_masked = (2 if cfg.reverse else 1) * K * n_mask
         x_masked = select_by_rank(x_rec, mask_full, total_masked, masked=True)
-        gt = select_by_rank(nbr_full.reshape(B, mask_full.shape[1], -1), mask_full,
-                            total_masked, masked=True)
+        # ground truth by INDEX COMPOSITION: slot-of-masked (stable argsort,
+        # same rule as select_by_rank) -> original group id (order_idx) ->
+        # one gather from the ungathered neighborhood. The old path
+        # materialized the permuted+reversed (B, 2KG, M, 3) neighborhood
+        # (~50 MB HBM round-trip at B=128) only to select the masked rows
+        # of a stop-grad tensor.
+        slot_of_masked = jnp.argsort(mask_full, axis=-1,
+                                     stable=True)[:, -total_masked:]  # (B, T)
+        oidx_flat = order_idx.reshape(B, K * G)
+        oidx_full = (jnp.concatenate([oidx_flat, oidx_flat[:, ::-1]], axis=1)
+                     if cfg.reverse else oidx_flat)  # (B, 2KG) int32
+        gidx = jnp.take_along_axis(oidx_full, slot_of_masked, axis=1)  # (B, T)
+        gt = jnp.take_along_axis(grouped.neighborhood,
+                                 gidx[..., None, None], axis=1)  # (B, T, M, 3)
         gt = gt.reshape(B * total_masked, cfg.group_size, 3)
 
         rebuild = nn.Dense(3 * cfg.group_size, kernel_init=trunc_normal_init(),

@@ -83,6 +83,15 @@ def _clear_jax_caches_between_modules():
     accumulation and has kept every full run green. With the persistent
     compilation cache above, the post-clear recompiles deserialize from
     disk, so the fixture's cost on a warm cache is near zero (full suite:
-    56 min cold, 27:42 warm, fixture active in both)."""
+    56 min cold, 27:42 warm, fixture active in both).
+
+    Under pytest-xdist (`-n N --dist loadscope`) the suite is sharded
+    across N fresh processes, each holding only its own modules'
+    executables — process isolation bounds the accumulation structurally,
+    so the in-process workaround is skipped there (the recommended
+    multi-core runner: `python -m pytest tests/ -q -n 4 --dist loadscope`;
+    loadscope keeps each module on one worker, matching this fixture's
+    module-scope semantics)."""
     yield
-    jax.clear_caches()
+    if "PYTEST_XDIST_WORKER" not in os.environ:
+        jax.clear_caches()
