@@ -45,13 +45,21 @@ def sinkhorn_soft_perm(scores: jax.Array, epsilon: float = 0.05,
     f = jnp.zeros_like(s)
     g = jnp.zeros_like(s)
 
-    def body(_, fg):
+    def body(fg, _):
         f, g = fg
         f = log_r - jax.nn.logsumexp(logK + g[..., None, :], axis=-1)
         g = log_r - jax.nn.logsumexp(logK + f[..., :, None], axis=-2)
-        return f, g
+        return (f, g), None
 
-    f, g = lax.fori_loop(0, n_iters, body, (f, g))
+    # Checkpointed scan body: under reverse-mode AD a plain loop stacks the
+    # per-iteration (..., N, N) softmax residuals — n_iters * |P| floats of
+    # HBM traffic (~670 MB/step at the B=128 pretrain shape, the largest
+    # non-scan fragment in benchmarks/profile_pretrain_step.json). With
+    # jax.checkpoint only the (..., N) duals are saved per iteration and the
+    # backward recomputes each body from them — same gradient values
+    # (pure rematerialization), two extra logsumexps per iteration of VPU
+    # work that is ~1000x cheaper than the saved bandwidth.
+    (f, g), _ = lax.scan(jax.checkpoint(body), (f, g), None, length=n_iters)
     return jnp.exp(f[..., :, None] + logK + g[..., None, :])
 
 
