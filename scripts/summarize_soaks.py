@@ -34,6 +34,19 @@ RUNS = {
     ("mae_pretrain", "ssd"): "tiny_pretrain_ssd_cpu_24",
 }
 
+# Round-5 set (VERDICT r4 #6): a BIGGER classification twin (2.7x width,
+# 2x depth, 2x data, 64 epochs — cfgs/dev/mid_scan_objbg*.yaml) and the
+# pretrain/part-seg twins re-run ON-CHIP (round 4 ran them on XLA:CPU
+# during the tunnel outage). Select with --round 5.
+RUNS_R5 = {
+    ("classification", "mamba1"): "mid_scan_objbg",
+    ("classification", "ssd"): "mid_scan_objbg_ssd",
+    ("part_segmentation", "mamba1"): "tiny_partseg_cpu_60",
+    ("part_segmentation", "ssd"): "tiny_partseg_ssd_cpu_60",
+    ("mae_pretrain", "mamba1"): "tiny_pretrain_cpu_24",
+    ("mae_pretrain", "ssd"): "tiny_pretrain_ssd_cpu_24",
+}
+
 # family -> (curve tag, higher_is_better)
 METRIC = {
     "classification": ("Metric/ACC", True),
@@ -58,12 +71,16 @@ def read_curve(path: str, tag: str) -> list[tuple[int, float]]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--exp", default="soak_r4_tpu,soak_r4_cpu")
+    ap.add_argument("--exp", default=None)
+    ap.add_argument("--round", type=int, default=4, choices=(4, 5))
     args = ap.parse_args()
+    if args.exp is None:
+        args.exp = "soak_r5_tpu" if args.round == 5 else "soak_r4_tpu,soak_r4_cpu"
     exp_names = [e.strip() for e in args.exp.split(",") if e.strip()]
+    runs_map = RUNS_R5 if args.round == 5 else RUNS
 
     result: dict = {"exp_names": exp_names, "families": {}}
-    for (family, variant), cfg in RUNS.items():
+    for (family, variant), cfg in runs_map.items():
         tag, hib = METRIC[family]
         # of the candidate experiments, keep the LONGEST curve (an
         # interrupted run under one exp name must not shadow a completed
@@ -117,7 +134,7 @@ def main() -> None:
             fam["ssd_minus_mamba1_best"] = round(s - m, 4)
             print(f"{family}: ssd - mamba1 (best) = {s - m:+.4f}")
 
-    dst = os.path.join(REPO, "benchmarks", "soaks_r4.json")
+    dst = os.path.join(REPO, "benchmarks", f"soaks_r{args.round}.json")
     with open(dst, "w") as f:
         json.dump(result, f, indent=1)
     print("written:", dst)
