@@ -238,11 +238,15 @@ def main():
     # and the engaged-predicate guard apply to it.
     from si_mamba_tpu.ops.ssd import ssd_fused_engaged
 
+    # ssd_fused_engaged pads the length to a chunk multiple first, so this
+    # is in practice a backend + tile-geometry guard (off-TPU the mixer
+    # silently falls back to XLA); pass the chunk the measured config uses
+    # (256 — the measure_ssd override below), not the default.
     seq_tokens = cfg.k_top_eigenvectors * cfg.num_group * 2
     if primary_compile_s > COLD_GUARD_S:
         extras["ssd_fused_skipped_cold_cache_compile_s"] = round(
             primary_compile_s, 1)
-    elif not ssd_fused_engaged(seq_tokens):
+    elif not ssd_fused_engaged(seq_tokens, chunk=256):
         # off-TPU / off-tile: the mixer would fall back to XLA and the
         # "fused" number would be an A/A of the XLA-SSD line — say so
         # instead of reporting it
@@ -381,6 +385,9 @@ def main():
     elif primary_compile_s <= COLD_GUARD_S:
         extras["serve_skipped_elapsed_s"] = round(
             time.perf_counter() - t_compile0, 1)
+    else:
+        extras["serve_skipped_cold_cache_compile_s"] = round(
+            primary_compile_s, 1)
 
     # Best train throughput across the measured configs: the headline
     # `value` stays the reference-architecture (Mamba-1) workload for

@@ -115,9 +115,12 @@ def capture_pretrain(tracedir: str, mixer: str = "mamba",
     if scan_impl == "ssd_fused":
         from si_mamba_tpu.ops.ssd import ssd_fused_engaged
 
-        # MAE encoder sequence: k traversals x visible tokens x2 reversed
-        vis = cfg.num_group - int(cfg.mask_ratio * cfg.num_group)
-        if not ssd_fused_engaged(cfg.k_top_eigenvectors * vis * 2):
+        # ssd_fused_engaged pads the length to a chunk multiple before the
+        # tile check, so engagement depends only on backend + the model's
+        # (chunk, d_state, head_dim) geometry — in practice this guards
+        # against profiling the XLA fallback off-TPU. Pass the model's own
+        # chunk knob, not the default.
+        if not ssd_fused_engaged(cfg.num_group, chunk=cfg.ssd_chunk):
             raise RuntimeError(
                 "--pretrain --ssd-fused would profile the XLA fallback — "
                 "refusing to write an A/A trace")
@@ -268,16 +271,22 @@ def main():
             for cat in {categorize(n) for n, _ in rows}
         },
     }
+    # filename = geometry x variant, so no flag combination can overwrite
+    # another combination's artifact (e.g. --pretrain --ssd must never
+    # clobber the Mamba-1 profile_pretrain_step.json baseline)
+    geo = "pretrain" if pretrain else "hardest" if hardest else None
+    variant = "ssd_fused" if ssd_fused else "ssd" if ssd else None
+    if geo and variant:
+        name = f"profile_{geo}_{variant}_step.json"
+    elif geo:
+        name = f"profile_{geo}_step.json"
+    elif variant:
+        name = f"profile_{variant}_step.json"
+    else:
+        name = "profile_train_step.json"
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "benchmarks",
-        ("profile_pretrain_ssd_fused_step.json" if ssd_fused
-         else "profile_pretrain_step.json") if pretrain
-        else ("profile_hardest_ssd_fused_step.json" if ssd_fused
-              else "profile_hardest_step.json") if hardest
-        else "profile_ssd_fused_step.json" if ssd_fused
-        else "profile_ssd_step.json" if ssd
-        else "profile_train_step.json")
+        "benchmarks", name)
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"step_wall_ms": out["step_wall_ms"],

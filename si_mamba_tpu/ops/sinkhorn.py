@@ -58,8 +58,12 @@ def sinkhorn_soft_perm(scores: jax.Array, epsilon: float = 0.05,
     # jax.checkpoint only the (..., N) duals are saved per iteration and the
     # backward recomputes each body from them — same gradient values
     # (pure rematerialization), two extra logsumexps per iteration of VPU
-    # work that is ~1000x cheaper than the saved bandwidth.
-    (f, g), _ = lax.scan(jax.checkpoint(body), (f, g), None, length=n_iters)
+    # work that is ~1000x cheaper than the saved bandwidth. prevent_cse=False
+    # per the jax.checkpoint docs: inside scan the staging already prevents
+    # the unsound CSE, so the default optimization barriers are pure
+    # overhead in the hot body.
+    (f, g), _ = lax.scan(jax.checkpoint(body, prevent_cse=False), (f, g),
+                         None, length=n_iters)
     return jnp.exp(f[..., :, None] + logK + g[..., None, :])
 
 

@@ -85,13 +85,13 @@ def _clear_jax_caches_between_modules():
     disk, so the fixture's cost on a warm cache is near zero (full suite:
     56 min cold, 27:42 warm, fixture active in both).
 
-    Under pytest-xdist (`-n N --dist loadscope`) the suite is sharded
-    across N fresh processes, each holding only its own modules'
-    executables — process isolation bounds the accumulation structurally,
-    so the in-process workaround is skipped there (the recommended
-    multi-core runner: `python -m pytest tests/ -q -n 4 --dist loadscope`;
-    loadscope keeps each module on one worker, matching this fixture's
-    module-scope semantics)."""
+    The clear also runs under pytest-xdist workers: with small -n each
+    worker still executes a large share of the suite's modules, so the
+    accumulation bound is needed there too (and under `--dist load` a
+    module's tests can interleave across modules, which only makes the
+    module-scope teardown fire more often — harmless on a warm cache).
+    Recommended multi-core runner: `python -m pytest tests/ -q -n 4
+    --dist loadscope` (loadscope keeps each module on one worker,
+    matching this fixture's module-scope semantics)."""
     yield
-    if "PYTEST_XDIST_WORKER" not in os.environ:
-        jax.clear_caches()
+    jax.clear_caches()
