@@ -125,6 +125,11 @@ def main() -> None:
             out[name][vname] = {"step_ms": round(ms, 1),
                                 "clouds_per_sec": round(b / ms * 1e3, 1)}
             print(name, vname, out[name][vname], flush=True)
+    out["note"] = (
+        "every entry: median of 3 timed runs of a K-step in-graph scan with "
+        "host-readback fences (one axon relay stall must not become the "
+        "recorded number), captured solo on the 1-core host. vs ref GPU: "
+        "pretrain 195 clouds/s (logs/pretrain_part_2.log), hardest ~125.")
     dst = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "benchmarks", "bench_geometries.json")
     with open(dst, "w") as f:
