@@ -87,9 +87,14 @@ def bench_hardest(impl_mixer) -> float:
 
     impl, mixer = impl_mixer
     B, N, K = 32, 2048, 6
+    kw = {}
+    if impl == "ssd_fused":
+        # match cfgs/finetune_scan_hardest_ssd_fused.yaml: 256-token chunks
+        # won the round-5 hardest-geometry A/B (78.4 vs 86.9 ms/step)
+        kw["ssd_chunk"] = 256
     cfg = PointMambaConfig(dtype="bfloat16", spectral_method="subspace",
                            num_group=128, cls_dim=15, mixer=mixer,
-                           scan_impl=impl)
+                           scan_impl=impl, **kw)
     model = PointMamba(cfg)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))

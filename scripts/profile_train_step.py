@@ -43,6 +43,12 @@ def capture(tracedir: str, mixer: str = "mamba",
 
     B, N = 32, 1024
     kw = {"scan_impl": scan_impl} if scan_impl else {}
+    if scan_impl == "ssd_fused":
+        # match the measured preset configs (bench.py measure_ssd override,
+        # cfgs/finetune_modelnet_ssd_fused.yaml + finetune_scan_hardest_
+        # ssd_fused.yaml): 256-token chunks won the round-4 flagship A/B
+        # (benchmarks/ssd_kernel_ab.json) AND the round-5 hardest A/B
+        kw["ssd_chunk"] = 256
     if hardest:
         # cfgs/finetune_scan_hardest.yaml geometry: N=2048, G=128, 15-way
         # (the thinnest perf margin vs the reference GPU — VERDICT r3 #4)
