@@ -60,7 +60,7 @@ def capture(tracedir: str, mixer: str = "mamba",
         from si_mamba_tpu.ops.ssd import ssd_fused_engaged
 
         seq_tokens = cfg.k_top_eigenvectors * cfg.num_group * 2
-        if not ssd_fused_engaged(seq_tokens):
+        if not ssd_fused_engaged(seq_tokens, chunk=cfg.ssd_chunk):
             raise RuntimeError(
                 "--ssd-fused would profile the XLA fallback (not on a TPU "
                 "backend or geometry misses the Mosaic tiles) — refusing "
